@@ -1,0 +1,45 @@
+"""grid_sample parity vs torch.nn.functional.grid_sample (CPU oracle)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from fovealseg_tpu.core.warp import grid_sample
+
+
+def _torch_grid_sample(img_nhwc, grid, mode):
+    t = torch.from_numpy(img_nhwc).permute(0, 3, 1, 2)
+    g = torch.from_numpy(grid)
+    y = TF.grid_sample(t, g, mode=mode, padding_mode="zeros", align_corners=False)
+    return y.permute(0, 2, 3, 1).numpy()
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_grid_sample_random_grid(rng, mode):
+    img = rng.standard_normal((2, 33, 47, 3)).astype(np.float32)
+    # in-range and slightly out-of-range coords; avoid exact .5 rounding ties
+    grid = (rng.uniform(-1.2, 1.2, (2, 20, 24, 2)) + 1e-4).astype(np.float32)
+    ours = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid), mode=mode))
+    ref = _torch_grid_sample(img, grid, mode)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_identity(rng):
+    """An align_corners=False identity grid reproduces the image (interior)."""
+    h = w = 16
+    img = rng.standard_normal((1, h, w, 2)).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    gx = (2 * xs + 1) / w - 1
+    gy = (2 * ys + 1) / h - 1
+    grid = np.stack([gx, gy], -1)[None].astype(np.float32)
+    out = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_zero_padding(rng):
+    img = np.ones((1, 8, 8, 1), dtype=np.float32)
+    grid = np.full((1, 4, 4, 2), -3.0, dtype=np.float32)  # far out of range
+    out = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    np.testing.assert_array_equal(out, np.zeros_like(out))
