@@ -1,0 +1,94 @@
+"""Benchmark: foveated inference frames/sec/chip at 640px -> 80x80 task.
+
+Measures the full FSNet pipeline (gaze map -> saliency -> grid solve ->
+foveated warp -> HRNetV2-nodownsp -> C1) in eval mode on the available
+accelerator, bf16 compute / f32 params.
+
+``vs_baseline``: ratio of our throughput to **5x the measured PyTorch-CPU
+baseline** of the same pipeline (benchmarks/torch_baseline.py) — i.e.
+vs_baseline >= 1.0 means the BASELINE.md north-star (">=5x end-to-end
+foveated inference throughput vs the PyTorch baseline") is met against the
+only torch hardware present. The measured baseline fps is cached in
+BASELINE_MEASURED.json (delete to re-measure) and reported alongside.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+
+
+def measure_jax_fps(batch: int = 8, iters: int = 20, warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+
+    cfg = DeformConfig(
+        task_hw=(80, 80),
+        task_hw_infer=(80, 80),
+        saliency_hw=(80, 80),
+        gaussian_radius=45,
+        num_class=51,
+        arch_encoder="hrnetv2_nodownsp",
+    )
+    module = DeformSegmentation(config=cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, 640, 640, 3), jnp.float32)
+    f = jnp.full((batch, 2), 0.5, jnp.float32)
+    variables = jax.jit(module.init)({"params": jax.random.PRNGKey(0)}, x, f)
+
+    @jax.jit
+    def fwd(v, x, f):
+        return module.apply(v, x, f, train=False)["pred"]
+
+    fwd(variables, x, f).block_until_ready()
+    for _ in range(warmup):
+        fwd(variables, x, f).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, x, f)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def get_torch_baseline_fps() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            return json.load(fh)["torch_cpu_fps"]
+    try:
+        from benchmarks.torch_baseline import measure_torch_cpu_fps
+
+        fps = measure_torch_cpu_fps(batch=4, iters=3, warmup=1)
+        with open(BASELINE_CACHE, "w") as fh:
+            json.dump({"torch_cpu_fps": fps, "note": "TorchFSNet eval batch=4 CPU"}, fh)
+        return fps
+    except Exception:
+        return float("nan")
+
+
+def main():
+    fps = measure_jax_fps()
+    base = get_torch_baseline_fps()
+    vs = fps / (5.0 * base) if base == base and base > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "foveated_inference_throughput",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip (640px->80x80, FSNet HRNetV2 bf16)",
+                "vs_baseline": round(vs, 3),
+                "torch_cpu_baseline_fps": round(base, 3) if base == base else None,
+                "baseline_definition": "5x torch-CPU end-to-end pipeline (BASELINE.md north star)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

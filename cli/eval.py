@@ -1,0 +1,131 @@
+"""Full-resolution evaluation CLI (inverse-warp path).
+
+Counterpart of /root/reference/eval.py: run the FSNet inference branch
+(models/models_instance.py:839-949) — forward warp, segment, inverse warp
+with hole filling — and report full-res IoU / pixel accuracy plus the
+warped-domain metrics. Supports importing the reference's PyTorch 4-file
+checkpoints for parity (``--torch-ckpt DIR --torch-epoch N``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="fovealseg-tpu full-res eval")
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--gpus", default="0")
+    parser.add_argument("--data", default="synthetic")
+    parser.add_argument("--image-root", default=None)
+    parser.add_argument("--torch-ckpt", default=None, help="dir with {kind}_epoch_{N}.pth files")
+    parser.add_argument("--torch-epoch", default="last")
+    parser.add_argument("--num-batches", type=int, default=16)
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fovealseg_tpu.configs import get_default_cfg
+    from fovealseg_tpu.core import metrics as M
+    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+    from fovealseg_tpu.train.optim import create_optimizer
+    from fovealseg_tpu.train.step import LossConfig, init_state
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("fovealseg.eval")
+
+    dc = DeformConfig.from_cfg(cfg)
+    module = DeformSegmentation(config=dc)
+    tx = create_optimizer(cfg)
+    bg = cfg.DATASET.num_class - 1
+
+    if args.data == "synthetic":
+        from fovealseg_tpu.data.synthetic import make_batch
+
+        rng_np = np.random.default_rng(cfg.TRAIN.seed)
+
+        def loader():
+            for _ in range(args.num_batches):
+                yield make_batch(rng_np, cfg.VAL.batch_size)
+    else:
+        from fovealseg_tpu.data.lvis import DatasetLVIS
+
+        ds = DatasetLVIS(os.path.join(args.data, "valid"), args.image_root)
+
+        def loader():
+            for i, b in enumerate(ds.batches(cfg.VAL.batch_size, shuffle=False)):
+                if i >= args.num_batches:
+                    break
+                yield b
+
+    sample = {k: jnp.asarray(v) for k, v in next(iter(loader())).items()}
+    state = init_state(module, tx, jax.random.PRNGKey(cfg.TRAIN.seed), sample)
+    params, stats = state.params, state.batch_stats
+
+    if args.torch_ckpt:
+        from fovealseg_tpu.train.checkpoint import load_torch_checkpoint
+
+        params, stats = load_torch_checkpoint(args.torch_ckpt, args.torch_epoch, params, stats)
+        log.info("imported torch checkpoint from %s", args.torch_ckpt)
+    elif cfg.TRAIN.start_epoch > 0 and os.path.isdir(cfg.DIR):
+        from fovealseg_tpu.train import checkpoint as ckpt
+
+        restored = ckpt.load_checkpoint(cfg.DIR, cfg.TRAIN.start_epoch, state)
+        params, stats = restored["params"], restored["batch_stats"]
+
+    @jax.jit
+    def infer(params, stats, x, f):
+        return module.apply(
+            {"params": params, "batch_stats": stats}, x, f,
+            method=DeformSegmentation.infer,
+        )
+
+    inter_sum = None
+    union_sum = None
+    acc_m, n = 0.0, 0
+    for batch in loader():
+        x = jnp.asarray(batch["img_data"])
+        f = jnp.asarray(batch["focus_point"])
+        y = np.asarray(batch["seg_label"])
+        cls = np.asarray(batch["cls_label"]).reshape(-1)
+        out = infer(params, stats, x, f)
+        pred = np.argmax(np.asarray(out["pred_sampled"]), axis=-1)
+        gt = (y * cls[:, None, None] + (1 - y) * bg).astype(np.int64)
+        inter, union = M.intersection_and_union(
+            jnp.asarray(pred), jnp.asarray(gt), cfg.DATASET.num_class
+        )
+        inter_sum = inter if inter_sum is None else inter_sum + inter
+        union_sum = union if union_sum is None else union_sum + union
+        acc, _ = M.accuracy(jnp.asarray(pred), jnp.asarray(gt))
+        acc_m += float(acc)
+        n += 1
+
+    iou = np.asarray(inter_sum) / np.maximum(np.asarray(union_sum), 1e-10)
+    present = np.asarray(union_sum) > 0
+    result = {
+        "mean_iou": float(iou[present].mean()),
+        "pixel_acc": acc_m / max(n, 1),
+        "num_batches": n,
+        "per_class_iou": {int(i): float(v) for i, v in enumerate(iou) if present[i]},
+    }
+    log.info("eval: mean_iou=%.4f acc=%.4f", result["mean_iou"], result["pixel_acc"])
+    print(json.dumps({k: v for k, v in result.items() if k != "per_class_iou"}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

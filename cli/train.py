@@ -1,0 +1,137 @@
+"""Training/eval CLI — surface parity with the reference driver.
+
+Usage (same flags as /root/reference/train_deform_semantic.py:596-693):
+
+  python cli/train.py --cfg fovealseg_tpu/configs/deform.yaml \
+      TRAIN.task_input_size '(80,80)' DIR ./ckpt/lvis_50cls \
+      TRAIN.deform_joint_loss True VAL.no_upsample True \
+      MODEL.gaussian_radius 45 TRAIN.saliency_input_size '(80, 80)'
+
+``--gpus`` is accepted for CLI parity but device selection is JAX's: all
+local devices form the data-parallel mesh (the SPMD replacement for
+mp.spawn + DDP at train_deform_semantic.py:689).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="fovealseg-tpu training")
+    parser.add_argument("--cfg", required=True, metavar="FILE")
+    parser.add_argument("--gpus", default="0", help="accepted for parity; ignored (SPMD)")
+    parser.add_argument("--data", default="synthetic", help="'synthetic', or path to a cooked LVIS dir")
+    parser.add_argument("--image-root", default=None, help="COCO image dir for cooked LVIS data")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fovealseg_tpu.configs import get_default_cfg
+    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+    from fovealseg_tpu.parallel.mesh import (
+        make_mesh,
+        make_parallel_eval_step,
+        make_parallel_train_step,
+        replicate_state,
+        shard_batch,
+    )
+    from fovealseg_tpu.train.loop import fit
+    from fovealseg_tpu.train.optim import create_optimizer
+    from fovealseg_tpu.train.step import LossConfig, init_state
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.TRAIN.max_iters = cfg.TRAIN.epoch_iters * cfg.TRAIN.num_epoch
+
+    os.makedirs(cfg.DIR, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s %(levelname)s %(filename)s:%(lineno)d] %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(cfg.DIR, "train.log")),
+        ],
+    )
+    log = logging.getLogger("fovealseg")
+    log.info("config:\n%s", cfg.dump())
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    axis = cfg.TPU.data_axis
+    dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else jnp.float32
+
+    dc = DeformConfig.from_cfg(cfg)
+    module = DeformSegmentation(config=dc, axis_name=axis if (cfg.TPU.sync_bn and n_dev > 1) else None, dtype=dtype)
+    init_module = DeformSegmentation(config=dc, dtype=dtype)
+    tx = create_optimizer(cfg)
+    lcfg = LossConfig.from_cfg(cfg)
+
+    batch_size = cfg.TRAIN.batch_size_per_gpu * n_dev
+    rng_np = np.random.default_rng(cfg.TRAIN.seed)
+
+    if args.data == "synthetic":
+        from fovealseg_tpu.data.synthetic import make_batch
+
+        def train_loader(epoch):
+            for _ in range(cfg.TRAIN.epoch_iters):
+                yield shard_batch(make_batch(rng_np, batch_size), mesh, axis)
+
+        def val_loader():
+            for _ in range(8):
+                yield shard_batch(make_batch(rng_np, batch_size), mesh, axis)
+
+    else:
+        from fovealseg_tpu.data.lvis import DatasetLVIS
+
+        train_ds = DatasetLVIS(os.path.join(args.data, "train"), args.image_root)
+        val_ds = DatasetLVIS(os.path.join(args.data, "valid"), args.image_root)
+        log.info("LVIS cooked data: %d train / %d val", len(train_ds), len(val_ds))
+
+        def train_loader(epoch):
+            for b in train_ds.batches(batch_size, shuffle=True, seed=cfg.TRAIN.seed + epoch):
+                yield shard_batch(b, mesh, axis)
+
+        def val_loader():
+            for b in val_ds.batches(batch_size, shuffle=False):
+                yield shard_batch(b, mesh, axis)
+
+    sample = next(iter(val_loader()))
+    state = init_state(init_module, tx, jax.random.PRNGKey(cfg.TRAIN.seed), sample)
+    state = replicate_state(state, mesh)
+
+    # resume (TRAIN.start_epoch, train_deform_semantic.py:649-658)
+    if cfg.TRAIN.start_epoch > 0:
+        from fovealseg_tpu.train import checkpoint as ckpt
+
+        epoch = cfg.TRAIN.start_epoch
+        name = epoch if os.path.exists(os.path.join(cfg.DIR, f"epoch_{epoch}")) else "last"
+        restored = ckpt.load_checkpoint(cfg.DIR, name, state)
+        from fovealseg_tpu.train.step import TrainState
+
+        state = replicate_state(
+            TrainState(restored["params"], restored["batch_stats"], restored["opt_state"], restored["step"]),
+            mesh,
+        )
+        log.info("resumed from %s at epoch %d", cfg.DIR, epoch)
+
+    train_step = make_parallel_train_step(module, tx, lcfg, mesh, axis)
+    eval_step = make_parallel_eval_step(module, lcfg, mesh, axis)
+
+    state = fit(cfg, state, train_step, eval_step, train_loader, val_loader)
+    log.info("Training Done!")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -50,28 +50,32 @@ def nearest_seed_jfa(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.nd
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
 
-    big = jnp.int32(1 << 30)
-    seed_y = jnp.where(valid, rows, big)
-    seed_x = jnp.where(valid, cols, big)
+    seed_y = jnp.where(valid, rows, 0)
+    seed_x = jnp.where(valid, cols, 0)
+    has = valid
+    # squared distances stay < 2*dim^2 < 2^24 for dim <= 2048 -> exact in f32
+    inf = jnp.float32(jnp.inf)
 
-    def dist2(sy, sx):
-        dy = (sy - rows).astype(jnp.int64)
-        dx = (sx - cols).astype(jnp.int64)
-        return dy * dy + dx * dx
+    def dist2(sy, sx, sh):
+        dy = (sy - rows).astype(jnp.float32)
+        dx = (sx - cols).astype(jnp.float32)
+        return jnp.where(sh, dy * dy + dx * dx, inf)
 
+    best = dist2(seed_y, seed_x, has)
     steps = [1 << (num_iters - 1 - i) for i in range(num_iters)] + [1]
     for k in steps:
-        best = dist2(seed_y, seed_x)
         for dy in (-k, 0, k):
             for dx in (-k, 0, k):
                 if dy == 0 and dx == 0:
                     continue
                 cy = _shift2d(seed_y, dy, dx)
                 cx = _shift2d(seed_x, dy, dx)
-                d = dist2(cy, cx)
+                ch = _shift2d(has, dy, dx)
+                d = dist2(cy, cx, ch)
                 better = d < best
                 seed_y = jnp.where(better, cy, seed_y)
                 seed_x = jnp.where(better, cx, seed_x)
+                has = has | (better & ch)
                 best = jnp.where(better, d, best)
     return seed_y * w + seed_x
 

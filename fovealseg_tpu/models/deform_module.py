@@ -1,0 +1,180 @@
+"""DeformSegmentation — the foveation pipeline as one jittable flax module.
+
+Rebuild of ``DeformSegmentationModule``
+(/root/reference/models/models.py:476-1094) with the whole default-config
+forward as a single XLA graph (the reference's per-sample Python/PIL work on
+the default LVIS path is dead compute — the joint edge loss actually compares
+the saliency map against an area-downsampled label, models/models.py:886-898 —
+so nothing data-dependent remains):
+
+  gaze distance map -> 5ch saliency input -> FovSim + Compress -> softmax
+  saliency -> replication pad -> Gaussian grid solver -> forward warp of
+  image (+ label grid) -> encoder/decoder -> 51ch logits.
+
+Sub-networks are separate param subtrees ({saliency, compress, encoder,
+decoder}) mirroring the reference's 4-network / 4-optimizer / 4-checkpoint
+split (train_deform_semantic.py:166-208, 260-290).
+
+Losses/metrics live in ``fovealseg_tpu.train.step`` (pure functions over the
+returned tensors); the full-res inverse-warp inference path is ``infer()``
+(models/models_instance.py:839-949).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fovealseg_tpu.core.gaze import focus_distance_map
+from fovealseg_tpu.core.grid import GridSolver, inverse_grid, pad_saliency
+from fovealseg_tpu.core.interpolate import resize_bilinear
+from fovealseg_tpu.core.unwarp import unwarp_prediction
+from fovealseg_tpu.core.warp import grid_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class DeformConfig:
+    """Static geometry/config snapshot (immutable per-step view of the cfg
+    singleton the reference mutates at runtime — SURVEY.md §5)."""
+
+    task_hw: tuple[int, int] = (80, 80)
+    task_hw_infer: tuple[int, int] = (80, 80)  # TRAIN.task_input_size_eval or task size
+    saliency_hw: tuple[int, int] = (80, 80)
+    num_class: int = 51
+    segm_downsampling_rate: int = 1
+    gaussian_radius: int = 45
+    gaussian_ap: float = 0.0
+    saliency_output_size_short: int = 0
+    pad_mode: str = "replication"  # TRAIN.def_saliency_pad_mode
+    saliency_net: str = "fovsimple"
+    arch_encoder: str = "hrnetv2_nodownsp"
+    arch_decoder: str = "c1"
+    fc_dim: int = 960
+    rev_deform_interp: str = "nearest"
+    uniform_sample: str = ""
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "DeformConfig":
+        task = tuple(cfg.TRAIN.task_input_size)
+        task_eval = tuple(cfg.TRAIN.task_input_size_eval)
+        return cls(
+            task_hw=task,
+            task_hw_infer=task_eval if len(task_eval) else task,
+            saliency_hw=tuple(cfg.TRAIN.saliency_input_size),
+            num_class=cfg.DATASET.num_class,
+            segm_downsampling_rate=cfg.DATASET.segm_downsampling_rate,
+            gaussian_radius=cfg.MODEL.gaussian_radius,
+            gaussian_ap=cfg.MODEL.gaussian_ap,
+            saliency_output_size_short=cfg.MODEL.saliency_output_size_short,
+            pad_mode=cfg.TRAIN.def_saliency_pad_mode,
+            saliency_net=cfg.MODEL.saliency_net,
+            arch_encoder=cfg.MODEL.arch_encoder,
+            arch_decoder=cfg.MODEL.arch_decoder,
+            fc_dim=cfg.MODEL.fc_dim,
+            rev_deform_interp=cfg.MODEL.rev_deform_interp,
+            uniform_sample=cfg.MODEL.uniform_sample,
+        )
+
+    def solver(self) -> GridSolver:
+        sal_h, sal_w = self.saliency_hw
+        grid_h = self.saliency_output_size_short or sal_h
+        grid_w = sal_w // (sal_h // grid_h)
+        pad_x = self.gaussian_radius
+        ap = self.gaussian_ap if self.gaussian_ap != 0.0 else sal_w // sal_h
+        return GridSolver(grid_h, grid_w, pad_x, int(ap * pad_x), float(self.gaussian_radius))
+
+
+class DeformSegmentation(nn.Module):
+    """Foveation + segmentation forward. Sub-nets built via models.builder."""
+
+    config: DeformConfig
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from fovealseg_tpu.models.builder import (
+            build_decoder,
+            build_encoder,
+            build_net_compress,
+            build_net_saliency,
+        )
+
+        c = self.config
+        self.localization = build_net_saliency(c.saliency_net, self.axis_name, self.dtype)
+        self.net_compress = build_net_compress(c.saliency_net, self.dtype)
+        self.encoder = build_encoder(c.arch_encoder, c.fc_dim, self.axis_name, self.dtype)
+        self.decoder = build_decoder(c.arch_decoder, c.fc_dim, c.num_class, self.axis_name, self.dtype)
+
+    def saliency(self, x, focus_point, train: bool = False):
+        """Image + gaze -> softmax saliency map [B, gh, gw, 1]
+        (models/models.py:684-723)."""
+        c = self.config
+        solver = c.solver()
+        x_low = resize_bilinear(x, c.saliency_hw)
+        fm = focus_distance_map(focus_point, *c.saliency_hw).astype(x.dtype)
+        x5 = jnp.concatenate([x_low, fm, fm], axis=-1)
+        xs = self.localization(x5, train=train)
+        xs = self.net_compress(xs, train=train)
+        xs = resize_bilinear(xs, (solver.grid_h, solver.grid_w))
+        b = xs.shape[0]
+        flat = xs.reshape(b, -1).astype(jnp.float32)
+        xs = jax.nn.softmax(flat, axis=-1).reshape(b, solver.grid_h, solver.grid_w, 1)
+        if c.uniform_sample != "":
+            xs = jnp.full_like(xs, 1.0 / (solver.grid_h * solver.grid_w))
+        return xs
+
+    def grids(self, xs, label_hw=None):
+        """Saliency -> (grid, grid_y) at task/label resolution."""
+        c = self.config
+        solver = c.solver()
+        xs_hm = pad_saliency(xs, solver.pad_x, solver.pad_y, c.pad_mode)
+        if label_hw is None:
+            label_hw = (
+                c.task_hw[0] // c.segm_downsampling_rate,
+                c.task_hw[1] // c.segm_downsampling_rate,
+            )
+        return solver.create_grid(xs_hm, c.task_hw, label_hw)
+
+    def __call__(self, x, focus_point, train: bool = False):
+        """Training/warped-domain forward.
+
+        x: [B, H, W, 3] in [0, 1]; focus_point: [B, 2] (row, col) in [0, 1].
+        Returns dict(xs, grid, grid_y, x_sampled, pred).
+        """
+        xs = self.saliency(x, focus_point, train=train)
+        grid, grid_y = self.grids(xs)
+        x_sampled = grid_sample(x, grid).astype(self.dtype)
+        feats = self.encoder(x_sampled, train=train)
+        pred = self.decoder(feats, train=train)
+        return dict(xs=xs, grid=grid, grid_y=grid_y, x_sampled=x_sampled, pred=pred)
+
+    def infer(self, x, focus_point, seg_hw: tuple[int, int] | None = None):
+        """Full-resolution inference with inverse warp + hole fill
+        (models/models_instance.py:839-949). Returns dict with
+        ``pred_sampled`` [B, Hs, Ws, C] full-res logits and intermediates."""
+        c = self.config
+        seg_hw = seg_hw or (x.shape[1], x.shape[2])
+        xs = self.saliency(x, focus_point, train=False)
+        grid, grid_y = self.grids(xs, label_hw=c.task_hw_infer)
+        x_sampled = grid_sample(x, grid).astype(self.dtype)
+        x_sampled = resize_bilinear(x_sampled, c.task_hw_infer)
+        feats = self.encoder(x_sampled, train=False)
+        pred = self.decoder(feats, train=False)
+        grid_inv, valid = inverse_grid(grid, seg_hw)
+        pred_sampled = unwarp_prediction(
+            pred.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp
+        )
+        return dict(
+            xs=xs,
+            grid=grid,
+            grid_y=grid_y,
+            grid_inv=grid_inv,
+            unfilled_mask=~valid,
+            x_sampled=x_sampled,
+            pred=pred,
+            pred_sampled=pred_sampled,
+        )

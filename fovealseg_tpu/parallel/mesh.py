@@ -1,0 +1,88 @@
+"""Device-mesh data parallelism (the TPU-native replacement for DDP/NCCL).
+
+The reference trains with one process per GPU, NCCL allreduce via DDP autograd
+hooks, DistributedSampler data sharding and explicit barriers
+(/root/reference/train_deform_semantic.py:45-55, 395, 462-468, 493), plus an
+intra-process SyncBN thread pipeline (lib/nn/modules/comm.py:56-131).
+
+Here the whole thing is SPMD: a 1-D ``jax.sharding.Mesh`` over the data axis,
+the jitted train step wrapped in ``shard_map``, gradients/metrics reduced with
+``jax.lax.pmean`` over ICI, per-replica batches placed with
+``NamedSharding(P('data'))``, and cross-replica BN as the module's
+``axis_name`` (a pmean inside the step — strictly stronger than the
+reference, whose DDP ranks do NOT sync BN; flag ``TPU.sync_bn``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fovealseg_tpu.train.step import TrainState
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Place a host batch with the leading dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def make_parallel_train_step(module, tx, lcfg, mesh: Mesh, axis: str = "data"):
+    """shard_map-wrapped train step: state replicated, batch sharded.
+
+    The inner per-shard step is the same function used single-device
+    (fovealseg_tpu.train.step.make_train_step) with pmean reductions enabled,
+    so single-chip and multi-chip paths share one code path.
+    """
+    from fovealseg_tpu.train.step import make_train_step
+
+    inner = make_train_step(module, tx, lcfg, axis_name=axis)
+
+    def sharded(state: TrainState, batch: dict, rng):
+        # distinct dropout streams per replica
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        return inner(state, batch, rng)
+
+    state_spec = P()  # fully replicated
+    batch_spec = {k: P(axis) for k in ("img_data", "focus_point", "seg_label", "cls_label")}
+
+    smapped = jax.shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def make_parallel_eval_step(module, lcfg, mesh: Mesh, axis: str = "data"):
+    from fovealseg_tpu.train.step import make_eval_step
+
+    inner = make_eval_step(module, lcfg, axis_name=axis)
+
+    batch_spec = {k: P(axis) for k in ("img_data", "focus_point", "seg_label", "cls_label")}
+    smapped = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_spec),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def replicate_state(state, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)

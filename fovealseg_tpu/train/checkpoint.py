@@ -1,0 +1,181 @@
+"""Checkpointing: orbax pytree ckpts mirroring the reference's 4-file surface.
+
+The reference writes 4 ``state_dict`` files per epoch —
+``{saliency,compress,encoder,decoder}_epoch_{N|last}.pth``
+(/root/reference/train_deform_semantic.py:166-208) — and always reloads from
+disk for eval (eval.py:456-487). Here one orbax checkpoint per epoch holds the
+same four subtrees (params + batch_stats + opt_state), with ``epoch_last``
+mirroring the ``_last`` copies for resume (TRAIN.start_epoch).
+
+``load_torch_checkpoint`` imports the published PyTorch weights for
+IoU-parity evaluation (SURVEY.md §5): torch keys map 1:1 onto our flax module
+paths (models/layers.py naming convention) with kernel-axis transposes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(ckpt_dir: str, epoch: int, state, also_last: bool = True) -> None:
+    ocp = _ocp()
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    with ocp.StandardCheckpointer() as ck:
+        path = os.path.join(ckpt_dir, f"epoch_{epoch}")
+        ck.save(path, payload, force=True)
+        if also_last:
+            ck.save(os.path.join(ckpt_dir, "epoch_last"), payload, force=True)
+
+
+def load_checkpoint(ckpt_dir: str, epoch, abstract_state) -> dict:
+    ocp = _ocp()
+    name = f"epoch_{epoch}" if not isinstance(epoch, str) else epoch
+    path = os.path.join(os.path.abspath(ckpt_dir), name)
+    template = {
+        "params": abstract_state.params,
+        "batch_stats": abstract_state.batch_stats,
+        "opt_state": abstract_state.opt_state,
+        "step": abstract_state.step,
+    }
+    with ocp.StandardCheckpointer() as ck:
+        return ck.restore(path, template)
+
+
+# ---------------------------------------------------------------------------
+# PyTorch checkpoint import (parity path)
+# ---------------------------------------------------------------------------
+
+_SUBTREE_FROM_FILE = {
+    "encoder": "encoder",
+    "decoder": "decoder",
+    "saliency": "localization",
+    "compress": "net_compress",
+}
+
+
+def _flatten(tree: Any, prefix=()) -> dict:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    root: dict = {}
+    for path, v in flat.items():
+        node = root
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return root
+
+
+def torch_key_to_flax(key: str) -> tuple[tuple, str]:
+    """'layer1.0.conv1.weight' -> (('layer1.0',... module names), param name).
+
+    Our flax modules use the torch module path *as the submodule name chain*;
+    the final torch component (weight/bias/running_mean/...) maps to a flax
+    param leaf.
+    """
+    parts = key.split(".")
+    leaf = parts[-1]
+    mod = parts[:-1]
+    return tuple(mod), leaf
+
+
+def import_torch_state_dict(
+    state_dicts: dict[str, dict[str, "np.ndarray"]],
+    params: dict,
+    batch_stats: dict,
+) -> tuple[dict, dict]:
+    """Merge reference state_dicts into (params, batch_stats).
+
+    ``state_dicts`` maps subtree file kind ('encoder'|'decoder'|'saliency'|
+    'compress') to a torch state_dict of numpy arrays. Unknown keys are
+    skipped (the reference loads with strict=False, models/models.py:1176).
+    """
+    pflat = _flatten(params)
+    sflat = _flatten(batch_stats)
+    # Index flax leaves by (top subtree, dotted module path, leaf). Flax
+    # module names may themselves contain dots ("layer1.0"), so matching is
+    # on the dot-joined string, which equals the torch module path.
+    pindex = {(p[0], ".".join(p[1:-1]), p[-1]): p for p in pflat}
+    sindex = {(p[0], ".".join(p[1:-1]), p[-1]): p for p in sflat}
+    matched, skipped = 0, []
+
+    for kind, sd in state_dicts.items():
+        top = _SUBTREE_FROM_FILE[kind]
+        for tkey, arr in sd.items():
+            mod, leaf = torch_key_to_flax(tkey)
+            modpath = ".".join(mod)
+            arr = np.asarray(arr)
+            if leaf == "weight" and arr.ndim == 4:
+                # conv OIHW -> HWIO
+                lookup, val, store, index = "kernel", arr.transpose(2, 3, 1, 0), pflat, pindex
+            elif leaf == "weight" and arr.ndim == 2:
+                lookup, val, store, index = "kernel", arr.T, pflat, pindex
+            elif leaf == "weight" and arr.ndim == 1:
+                lookup, val, store, index = "scale", arr, pflat, pindex
+            elif leaf == "bias":
+                lookup, val, store, index = "bias", arr, pflat, pindex
+            elif leaf == "running_mean":
+                lookup, val, store, index = "mean", arr, sflat, sindex
+            elif leaf == "running_var":
+                lookup, val, store, index = "var", arr, sflat, sindex
+            else:  # num_batches_tracked etc.
+                continue
+            path = index.get((top, modpath, lookup))
+            if path is None:
+                skipped.append((tkey, "missing"))
+                continue
+            cur = store[path]
+            if tuple(cur.shape) != tuple(val.shape):
+                skipped.append((tkey, "shape"))
+                continue
+            store[path] = jnp.asarray(val, dtype=cur.dtype)
+            matched += 1
+
+    new_params = _unflatten(pflat)
+    new_stats = _unflatten(sflat)
+    if skipped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "torch import: %d matched, %d skipped (strict=False): %s...",
+            matched, len(skipped), skipped[:5],
+        )
+    return new_params, new_stats
+
+
+def load_torch_checkpoint(ckpt_dir: str, epoch, params: dict, batch_stats: dict):
+    """Load the reference's 4 .pth files for one epoch (requires torch)."""
+    import torch
+
+    sds = {}
+    for kind in ("encoder", "decoder", "saliency", "compress"):
+        path = os.path.join(ckpt_dir, f"{kind}_epoch_{epoch}.pth")
+        if os.path.exists(path):
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            sds[kind] = {k: v.numpy() for k, v in sd.items()}
+    return import_torch_state_dict(sds, params, batch_stats)

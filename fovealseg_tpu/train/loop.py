@@ -1,0 +1,153 @@
+"""Epoch-driver loop: train epochs + warped-domain eval + history/checkpoints.
+
+Rebuild of the reference driver (/root/reference/train_deform_semantic.py:
+354-594): per-epoch ``train()`` over ``epoch_iters`` batches, checkpoint +
+``epoch_last`` copies, eval via ``eval_during_train_deform`` -> warped-domain
+metrics (eval.py:372-451), history CSV with the reference's schema
+(``history_epoch_last_{rank}.csv``, train_deform_semantic.py:210-235), and
+TRAIN.skip_train_for_eval / start_epoch resume semantics. No disk round-trip
+between train and eval (the reference reloads all 4 nets from disk each eval
+epoch — eval.py:463-487 — which SPMD makes unnecessary).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fovealseg_tpu.train import checkpoint as ckpt
+from fovealseg_tpu.train.optim import poly_running_lrs
+
+log = logging.getLogger("fovealseg")
+
+
+class AverageMeter:
+    def __init__(self):
+        self.sum = 0.0
+        self.n = 0
+
+    def update(self, v, k: int = 1):
+        self.sum += float(v) * k
+        self.n += k
+
+    def average(self) -> float:
+        return self.sum / max(self.n, 1)
+
+
+def write_history_csv(path: str, rows: list[dict]) -> None:
+    """history_epoch_last_{rank}.csv schema parity
+    (train_deform_semantic.py:213-231)."""
+    if not rows:
+        return
+    fields = list(rows[0].keys())
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
+
+
+def train_one_epoch(
+    train_step: Callable,
+    state,
+    batches: Iterable[dict],
+    epoch: int,
+    cfg,
+    rng,
+    history_rows: Optional[list] = None,
+) -> tuple[object, dict]:
+    meters = {k: AverageMeter() for k in ("loss", "acc", "edge_loss")}
+    tic = time.time()
+    i = 0
+    for batch in batches:
+        rng, sub = jax.random.split(rng)
+        state, mets = train_step(state, batch, sub)
+        meters["loss"].update(mets["loss"])
+        meters["acc"].update(mets["acc"])
+        meters["edge_loss"].update(mets["edge_loss"])
+        if i % cfg.TRAIN.disp_iter == 0:
+            cur_iter = i + (epoch - 1) * cfg.TRAIN.epoch_iters
+            lrs = poly_running_lrs(cfg, cur_iter)
+            log.info(
+                "Epoch: [%d][%d/%d], Time: %.2f, lr_encoder: %.6f, "
+                "Accuracy: %4.2f, Seg_Loss: %.6f, Edge_Loss: %.6f",
+                epoch, i, cfg.TRAIN.epoch_iters, time.time() - tic,
+                lrs["running_lr_encoder"], meters["acc"].average() * 100,
+                meters["loss"].average(), meters["edge_loss"].average(),
+            )
+        if history_rows is not None:
+            history_rows.append(
+                {
+                    "epoch": epoch - 1 + (i + 1) / cfg.TRAIN.epoch_iters,
+                    "train_loss": meters["loss"].average(),
+                    "train_acc": meters["acc"].average(),
+                    "train_edge_loss": meters["edge_loss"].average(),
+                }
+            )
+        i += 1
+        if i >= cfg.TRAIN.epoch_iters:
+            break
+    summary = {k: m.average() for k, m in meters.items()}
+    return state, summary
+
+
+def evaluate_1epoch(eval_step: Callable, state, batches: Iterable[dict]) -> dict:
+    """Warped-domain eval (eval.py:372-451): mean loss/acc/edge + fg/bin
+    accuracy family over the loader."""
+    keys = ("loss", "acc", "edge_loss", "acc_bin_fg", "acc_cls_fbg", "acc_bin_fbg")
+    meters = {k: AverageMeter() for k in keys}
+    for batch in batches:
+        mets = eval_step(state.params, state.batch_stats, batch)
+        for k in keys:
+            meters[k].update(mets[k])
+    return {k: m.average() for k, m in meters.items()}
+
+
+def fit(
+    cfg,
+    state,
+    train_step: Callable,
+    eval_step: Callable,
+    train_loader: Callable[[int], Iterable[dict]],
+    val_loader: Callable[[], Iterable[dict]],
+    rng=None,
+) -> object:
+    """Full driver: epochs [start_epoch, num_epoch) with the reference's
+    checkpoint/eval cadence and skip_train_for_eval support."""
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.TRAIN.seed)
+    ckpt_dir = cfg.DIR
+    os.makedirs(ckpt_dir, exist_ok=True)
+    history: list[dict] = []
+    eval_history: list[dict] = []
+
+    for epoch0 in range(cfg.TRAIN.start_epoch, cfg.TRAIN.num_epoch):
+        epoch = epoch0 + 1
+        cfg.TRAIN.global_epoch = epoch
+        if not cfg.TRAIN.skip_train_for_eval:
+            rng, sub = jax.random.split(rng)
+            state, summary = train_one_epoch(
+                train_step, state, train_loader(epoch), epoch, cfg, sub, history
+            )
+            log.info("epoch %d train: %s", epoch, json.dumps(summary))
+            if cfg.TRAIN.save_checkpoint and (
+                epoch % cfg.TRAIN.checkpoint_per_epoch == 0 or epoch == cfg.TRAIN.num_epoch
+            ):
+                ckpt.save_checkpoint(ckpt_dir, epoch, jax.device_get(state))
+            elif cfg.TRAIN.save_checkpoint:
+                ckpt.save_checkpoint(ckpt_dir, epoch, jax.device_get(state), also_last=True)
+        if epoch % cfg.TRAIN.eval_per_epoch == 0 or cfg.TRAIN.skip_train_for_eval:
+            mets = evaluate_1epoch(eval_step, state, val_loader())
+            log.info("epoch %d eval: %s", epoch, json.dumps(mets))
+            eval_history.append({"epoch": epoch, **mets})
+        write_history_csv(os.path.join(ckpt_dir, "history_epoch_last_0.csv"), history)
+        write_history_csv(os.path.join(ckpt_dir, "eval_history.csv"), eval_history)
+        if cfg.TRAIN.skip_train_for_eval:
+            break
+    return state

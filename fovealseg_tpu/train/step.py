@@ -1,0 +1,180 @@
+"""Jitted train/eval steps: forward + losses + grads (+ cross-replica psum).
+
+Loss assembly mirrors the default-config training branch of
+``DeformSegmentationModule.forward`` (/root/reference/models/models.py:
+866-1094): label warp via grid_y, ground truth ``y*cls + (1-y)*bg``,
+Dice + Focal(gamma=5) + joint edge loss, and the warped-domain accuracy
+family. Everything is one XLA graph per step; under data parallelism the
+same function runs inside ``shard_map`` with gradient/metric ``pmean`` over
+the data axis (the TPU-native replacement for DDP's NCCL allreduce).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from fovealseg_tpu.core import losses as L
+from fovealseg_tpu.core import metrics as M
+from fovealseg_tpu.core.interpolate import resize_area
+from fovealseg_tpu.core.warp import grid_sample
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Minimal train state (params + BN stats + opt state + step)."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.batch_stats, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Static loss/schedule knobs extracted from the cfg tree."""
+
+    num_class: int = 51
+    edge_loss_scale: float = 100.0
+    edge_norm: bool = True  # TRAIN.opt_deform_LabelEdge_norm
+    deform_joint_loss: bool = True
+    focal_gamma: float = 5.0
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "LossConfig":
+        return cls(
+            num_class=cfg.DATASET.num_class,
+            edge_loss_scale=cfg.TRAIN.edge_loss_scale,
+            edge_norm=cfg.TRAIN.opt_deform_LabelEdge_norm,
+            deform_joint_loss=cfg.TRAIN.deform_joint_loss,
+            focal_gamma=5.0,  # hard-coded at models/models.py:1059
+        )
+
+
+def compute_losses(out: dict, batch: dict, lcfg: LossConfig) -> tuple[jnp.ndarray, dict]:
+    """out: DeformSegmentation forward dict; batch: img/seg_label/focus/cls.
+
+    batch['seg_label']: [B, H, W] float binary mask; batch['cls_label']: [B]
+    int; returns (total_loss, metrics dict).
+    """
+    y = batch["seg_label"].astype(jnp.float32)
+    cls = batch["cls_label"].astype(jnp.int32).reshape(-1)
+    xs = out["xs"]
+    pred = out["pred"].astype(jnp.float32)
+    bg = lcfg.num_class - 1
+
+    # edge target: area-downsampled label (models/models.py:725-730, 886-898)
+    gh, gw = xs.shape[1], xs.shape[2]
+    xs_target = resize_area(y[..., None], (gh, gw))
+    e_loss = L.edge_loss(xs, xs_target, lcfg.edge_loss_scale, lcfg.edge_norm)
+
+    # label warp: bilinear grid_sample then .long() truncation
+    # (models/models.py:880, 966-971)
+    y_sampled = grid_sample(y[..., None], out["grid_y"])[..., 0]
+    label = y_sampled.astype(jnp.int32)
+    gt = label * cls[:, None, None] + (1 - label) * bg
+
+    focal = L.focal_loss(pred, gt, lcfg.focal_gamma)
+    dice = L.dice_loss_multiclass(pred, gt)
+    loss = dice + focal
+    if lcfg.deform_joint_loss:
+        loss = loss + e_loss
+
+    mets = {
+        "loss": loss,
+        "dice_loss": dice,
+        "focal_loss": focal,
+        "edge_loss": e_loss,
+        "acc": M.pixel_acc(pred, gt, bg),
+        "acc_bin_fg": M.fg_bin_pixel_acc(pred, gt, bg),
+        "acc_cls_fbg": M.fbg_cls_pixel_acc(pred, gt, bg),
+        "acc_bin_fbg": M.fbg_bin_pixel_acc(pred, gt, bg),
+    }
+    return loss, mets
+
+
+def make_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    lcfg: LossConfig,
+    axis_name: Optional[str] = None,
+):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    When ``axis_name`` is set the step is meant to run inside
+    shard_map/pmap over that axis: grads and metrics are ``pmean``-reduced
+    (BN cross-replica stats are handled by the module's own axis_name).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = module.apply(
+            variables,
+            batch["img_data"],
+            batch["focus_point"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        loss, mets = compute_losses(out, batch, lcfg)
+        return loss, (mets, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (mets, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            mets = jax.lax.pmean(mets, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+        return new_state, mets
+
+    return train_step
+
+
+def make_eval_step(module, lcfg: LossConfig, axis_name: Optional[str] = None):
+    """Warped-domain eval step (evaluate_1epoch semantics, eval.py:372-451)."""
+
+    def eval_step(params, batch_stats, batch) -> dict:
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = module.apply(
+            variables, batch["img_data"], batch["focus_point"], train=False
+        )
+        _, mets = compute_losses(out, batch, lcfg)
+        if axis_name is not None:
+            mets = jax.lax.pmean(mets, axis_name)
+        return mets
+
+    return eval_step
+
+
+def init_state(module, tx, rng, sample_batch) -> TrainState:
+    variables = module.init(
+        {"params": rng, "dropout": rng},
+        sample_batch["img_data"],
+        sample_batch["focus_point"],
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(params, batch_stats, tx.init(params), jnp.zeros((), jnp.int32))

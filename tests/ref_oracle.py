@@ -1,0 +1,37 @@
+"""Load reference PyTorch modules (read-only, runtime import) as parity
+oracles for naming + numerical checkpoint-import tests. Nothing is copied:
+the reference files are exec'd from /root/reference at test time."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF = "/root/reference"
+
+_cache: dict[str, types.ModuleType] = {}
+
+
+def load_ref_module(relpath: str, name: str) -> types.ModuleType:
+    if name in _cache:
+        return _cache[name]
+    if REF not in sys.path:
+        sys.path.insert(0, REF)  # makes `lib.nn` (SyncBN) importable
+    src = open(f"{REF}/{relpath}").read()
+    # dodge package-relative / unavailable imports
+    src = src.replace("from .utils import load_url", "load_url = None")
+    src = src.replace("from . import resnet, resnext, mobilenet, hrnet", "")
+    mod = types.ModuleType(name)
+    exec(compile(src, name, "exec"), mod.__dict__)
+    _cache[name] = mod
+    return mod
+
+
+def state_dict_numpy(torch_module) -> dict:
+    """state_dict as numpy, minus SyncBN internals."""
+    skip = ("num_batches_tracked", "_tmp_running_mean", "_tmp_running_var", "_running_iter")
+    return {
+        k: v.detach().cpu().numpy()
+        for k, v in torch_module.state_dict().items()
+        if not any(k.endswith(s) for s in skip)
+    }

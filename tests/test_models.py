@@ -1,0 +1,80 @@
+"""Model-zoo shape/semantics smoke tests (tiny sizes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fovealseg_tpu.models.c1 import C1
+from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+from fovealseg_tpu.models.hrnet import HRNetV2NoDownsp
+from fovealseg_tpu.models.saliency import CompressNet, FovSimModule
+
+
+def test_fovsim_compress_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
+    net = FovSimModule()
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (2, 16, 16, 24)
+    comp = CompressNet()
+    cp = comp.init(jax.random.PRNGKey(0), y)
+    z = comp.apply(cp, y)
+    assert z.shape == (2, 16, 16, 1)
+
+
+def test_c1_bg_modulation(rng):
+    feats = jnp.asarray(rng.standard_normal((1, 40, 40, 960)).astype(np.float32))
+    dec = C1(num_class=51, fc_dim=960)
+    params = dec.init(jax.random.PRNGKey(0), [feats])
+    out = dec.apply(params, [feats])
+    assert out.shape == (1, 40, 40, 51)
+    # non-bg channels are spatially constant (pure class logits broadcast);
+    # the bg channel is modulated by the mask so it varies spatially
+    fg = np.asarray(out[..., :-1]).astype(np.float64)
+    assert np.allclose(fg.std(axis=(1, 2)), 0.0, atol=1e-4)
+
+
+def test_hrnet_output_channels(rng):
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    enc = HRNetV2NoDownsp(stage_modules=(1, 1, 1), num_blocks=1, layer1_blocks=1)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    (y,) = enc.apply(params, x)
+    assert y.shape == (1, 16, 16, 960)
+
+
+@pytest.fixture(scope="module")
+def tiny_deform():
+    cfg = DeformConfig(
+        task_hw=(16, 16),
+        task_hw_infer=(16, 16),
+        saliency_hw=(16, 16),
+        gaussian_radius=5,
+        arch_encoder="hrnetv2_nodownsp_tiny",
+    )
+    module = DeformSegmentation(config=cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    f = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x, f)
+    return module, params, x, f
+
+
+def test_deform_forward_shapes(tiny_deform):
+    module, params, x, f = tiny_deform
+    out = module.apply(params, x, f)
+    assert out["xs"].shape == (1, 16, 16, 1)
+    np.testing.assert_allclose(np.asarray(out["xs"]).sum(), 1.0, rtol=1e-5)
+    assert out["grid"].shape == (1, 16, 16, 2)
+    assert out["x_sampled"].shape == (1, 16, 16, 3)
+    assert out["pred"].shape == (1, 16, 16, 51)
+    # param tree has the 4-network split
+    top = set(params["params"].keys())
+    assert top == {"localization", "net_compress", "encoder", "decoder"}
+
+
+def test_deform_infer_shapes(tiny_deform):
+    module, params, x, f = tiny_deform
+    out = module.apply(params, x, f, method=DeformSegmentation.infer)
+    assert out["pred_sampled"].shape == (1, 64, 64, 51)
+    assert not np.isnan(np.asarray(out["pred_sampled"])).any()
+    assert out["grid_inv"].shape == (1, 64, 64, 2)
