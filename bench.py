@@ -27,6 +27,9 @@ def measure_jax_fps(batch: int = 8, iters: int = 20, warmup: int = 3) -> float:
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fovealseg")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
 
     cfg = DeformConfig(

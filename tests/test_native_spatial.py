@@ -1,0 +1,90 @@
+"""Native C++ spatial library vs scipy oracles."""
+
+import numpy as np
+import pytest
+
+scipy_spatial = pytest.importorskip("scipy.spatial")
+
+from fovealseg_tpu.native.interp2d import build_interp_plan, interp2d_dense
+from fovealseg_tpu.native.spatial import Delaunay, directed_hausdorff, nearest_neighbor
+
+
+def test_delaunay_matches_scipy_triangle_set(rng):
+    pts = rng.uniform(0, 100, (60, 2))
+    ours = Delaunay(pts)
+    ref = scipy_spatial.Delaunay(pts)
+    # same triangulation as sets of vertex triples (Delaunay is unique for
+    # points in general position)
+    a = {tuple(sorted(t)) for t in ours.simplices}
+    b = {tuple(sorted(t)) for t in ref.simplices}
+    assert a == b
+
+
+def test_find_simplex_barycentric_reconstruction(rng):
+    pts = rng.uniform(0, 50, (40, 2))
+    tri = Delaunay(pts)
+    q = rng.uniform(5, 45, (200, 2))
+    simplex, bary = tri.find_simplex(q, return_c=True)
+    inside = simplex >= 0
+    assert inside.mean() > 0.5
+    # barycentric blend of corner coordinates reconstructs the query point
+    corners = pts[tri.simplices[simplex[inside]]]  # [k, 3, 2]
+    rec = (corners * bary[inside][..., None]).sum(axis=1)
+    np.testing.assert_allclose(rec, q[inside], atol=1e-8)
+
+
+def test_nearest_neighbor_matches_brute(rng):
+    pts = rng.uniform(0, 10, (80, 2))
+    q = rng.uniform(-1, 11, (300, 2))
+    ours = nearest_neighbor(pts, q)
+    d = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    ref = d.argmin(axis=1)
+    # distances must match exactly (ties may differ in index)
+    np.testing.assert_allclose(d[np.arange(len(q)), ours], d[np.arange(len(q)), ref])
+
+
+def test_directed_hausdorff_matches_scipy(rng):
+    a = rng.uniform(0, 5, (50, 2))
+    b = rng.uniform(0, 5, (70, 2))
+    ours = directed_hausdorff(a, b)
+    ref = scipy_spatial.distance.directed_hausdorff(a, b)[0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+
+def test_interp2d_dense_matches_linear_nd(rng):
+    """'tri' interpolation == scipy LinearNDInterpolator inside the hull."""
+    h = w = 24
+    pts = rng.integers(0, 24, (60, 2)).astype(np.float64)
+    pts = np.unique(pts, axis=0)
+    # jitter off the integer grid: cocircular quadruples make the Delaunay
+    # diagonal choice ambiguous (both ours and scipy's are valid)
+    pts += rng.uniform(-1e-3, 1e-3, pts.shape)
+    vals = rng.standard_normal((len(pts), 3)).astype(np.float64)
+    dense = interp2d_dense(pts, vals, h, w)
+    from scipy.interpolate import LinearNDInterpolator
+
+    ref = LinearNDInterpolator(pts, vals)
+    ys, xs = np.mgrid[0:h, 0:w]
+    refd = ref(np.stack([ys.ravel(), xs.ravel()], -1)).reshape(h, w, 3)
+    inside = ~np.isnan(refd[..., 0])
+    ours_hwc = np.moveaxis(dense, 0, -1)
+    np.testing.assert_allclose(ours_hwc[inside], refd[inside], atol=1e-5)
+
+
+def test_interp_plan_gradients_flow():
+    """interp2d_apply is differentiable w.r.t. values (like the reference
+    Interp2D whose backward flows through values only, interp2d.py:84-89)."""
+    import jax
+    import jax.numpy as jnp
+
+    pts = np.array([[0, 0], [0, 7], [7, 0], [7, 7], [3, 4]], dtype=np.float64)
+    corner, weight = build_interp_plan(pts, 8, 8)
+
+    def f(vals):
+        from fovealseg_tpu.native.interp2d import interp2d_apply
+
+        return interp2d_apply(vals, corner, weight).sum()
+
+    g = jax.grad(f)(jnp.ones((5, 2)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
