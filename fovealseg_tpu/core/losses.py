@@ -185,6 +185,17 @@ def bcosim_loss(scores: jnp.ndarray, target: jnp.ndarray, class_num: int, eps: f
     return 1.0 - jnp.sum(k_loss * present) / jnp.maximum(jnp.sum(present), 1.0)
 
 
+def dice_coeff(inputs: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
+    """Batch-mean binary Dice coefficient (criterion.py DiceCoeff:304-343):
+    per sample ``(2<x,y> + eps) / (sum(x) + sum(y) + eps)``, averaged."""
+    b = inputs.shape[0]
+    x = inputs.reshape(b, -1)
+    y = target.reshape(b, -1).astype(x.dtype)
+    inter = jnp.sum(x * y, axis=1)
+    union = jnp.sum(x, axis=1) + jnp.sum(y, axis=1) + eps
+    return jnp.mean((2.0 * inter + eps) / union)
+
+
 def wce_loss(scores: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """sigmoid(CrossEntropy) classification loss (nn_A2_loss.py:92-100)."""
     logp = jax.nn.log_softmax(scores, axis=-1)
