@@ -43,19 +43,24 @@ def measure_jax_fps(batch: int = 8, iters: int = 20, warmup: int = 3) -> float:
     module = DeformSegmentation(config=cfg, dtype=jnp.bfloat16)
     x = jnp.zeros((batch, 640, 640, 3), jnp.float32)
     f = jnp.full((batch, 2), 0.5, jnp.float32)
-    variables = jax.jit(module.init)({"params": jax.random.PRNGKey(0)}, x, f)
+    shapes = jax.eval_shape(module.init, {"params": jax.random.PRNGKey(0)}, x, f)
+    variables = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
 
-    @jax.jit
-    def fwd(v, x, f):
-        return module.apply(v, x, f, train=False)["pred"]
+    # NOTE: this image's TPU tunnel does not synchronize block_until_ready and
+    # has ~30ms fetch RTT, so N forwards are chained inside one jitted
+    # fori_loop (a scalar data dependency serializes them on device) and the
+    # result is fetched once; per-step time amortizes dispatch + RTT away.
+    def chained(v, x, f, n):
+        def body(_, carry):
+            out = module.apply(v, x + carry, f, train=False)["pred"]
+            return jnp.mean(out).astype(x.dtype) * 0.0
 
-    fwd(variables, x, f).block_until_ready()
-    for _ in range(warmup):
-        fwd(variables, x, f).block_until_ready()
+        return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, x.dtype))
+
+    run = jax.jit(chained, static_argnums=3)
+    float(run(variables, x, f, iters))  # compile + first (untimed) execution
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, x, f)
-    out.block_until_ready()
+    float(run(variables, x, f, iters))  # timed: pure execution + one fetch RTT
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

@@ -80,13 +80,25 @@ def nearest_seed_jfa(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.nd
     return seed_y * w + seed_x
 
 
+def _nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:
+    """Dispatch: fused Pallas JFA kernel on TPU, lax JFA elsewhere."""
+    try:
+        if jax.devices()[0].platform == "tpu":
+            from fovealseg_tpu.ops.pallas_jfa import nearest_seed_pallas
+
+            return nearest_seed_pallas(valid, num_iters)
+    except Exception:
+        pass
+    return nearest_seed_jfa(valid, num_iters)
+
+
 def fill_grid_nearest(
     grid_inv: jnp.ndarray, valid: jnp.ndarray, num_iters: int | None = None
 ) -> jnp.ndarray:
     """Replace NaN holes in [B,H,W,2] grid_inv with the nearest valid pixel's
     coordinates (single-gather fusion of inverse warp + nearest fill)."""
     b, h, w, _ = grid_inv.shape
-    idx = nearest_seed_jfa(valid, num_iters)
+    idx = _nearest_seed(valid, num_iters)
     flat = grid_inv.reshape(b, h * w, 2)
     out = jnp.take_along_axis(flat, idx.reshape(b, h * w, 1), axis=1)
     return out.reshape(b, h, w, 2)
@@ -97,7 +109,7 @@ def fill_values_nearest(
 ) -> jnp.ndarray:
     """Nearest-fill arbitrary per-pixel values [B,H,W,C] at hole pixels."""
     b, h, w, c = values.shape
-    idx = nearest_seed_jfa(valid, num_iters)
+    idx = _nearest_seed(valid, num_iters)
     flat = values.reshape(b, h * w, c)
     out = jnp.take_along_axis(flat, idx.reshape(b, h * w, 1), axis=1)
     return out.reshape(b, h, w, c)

@@ -1,0 +1,237 @@
+"""Legacy ODGT datasets (ADE20K / Cityscapes / GLEASON / Digest families).
+
+Rebuild of /root/reference/dataset.py (808 LoC): json-lines ``.odgt``
+manifests, per-dataset-family label mappings and normalization constants
+(BaseDataset:56-287), the ``segm_transform`` "-1 shift" (labels stored 1..C,
+ignore becomes -1 — dataset.py:278-283), TrainDataset's aspect-ratio
+sub-batching (``_get_sub_batch``:316-382) with short-edge scaling to
+``imgSizes``/``imgMaxSize`` and ``padding_constant`` rounding, random flips,
+multi-scale ValDataset (618-713), and patch-cropping TestDataset (716-808).
+
+NHWC numpy output, no torch. Images load with PIL; resizing uses PIL
+(``imresize``, dataset.py:18-28) as the reference does on the host side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# per-family normalization constants (BaseDataset:107-196)
+NORMALIZATION = {
+    "gleason": ([0.748, 0.611, 0.823], [0.146, 0.245, 0.119]),
+    "digest": ([0.816, 0.697, 0.792], [0.160, 0.277, 0.198]),
+    "ade": ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+    "cityscapes": ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+    "histo": ([0.8223, 0.7783, 0.7847], [0.210, 0.216, 0.241]),
+    "deepglob": ([0.282, 0.379, 0.408], [0.089, 0.101, 0.127]),
+}
+
+# GLEASON class mappings keyed by opt.class_mapping (BaseDataset:64-105)
+GLEASON_MAPPINGS = {
+    0: {0: 1, 1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 1},
+    30: {0: 1, 1: 1, 2: 1, 3: 2, 4: 3, 5: 1, 6: 1},
+    3: {0: 1, 1: 1, 2: 1, 3: 2, 4: 1, 5: 1, 6: 1},
+    4: {0: 1, 1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 1},
+    5: {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1},
+    6: {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 1},
+}
+DIGEST_MAPPING = {0: 1, 255: 2}
+# Cityscapes trainId mapping (HRNet-Semantic-Segmentation convention,
+# shifted +1 for the reference's 1-based storage; 255/-1 -> ignore 0)
+CITYSCAPES_MAPPING = {
+    7: 1, 8: 2, 11: 3, 12: 4, 13: 5, 17: 6, 19: 7, 20: 8, 21: 9, 22: 10,
+    23: 11, 24: 12, 25: 13, 26: 14, 27: 15, 28: 16, 31: 17, 32: 18, 33: 19,
+}
+
+
+def detect_family(root_dataset: str, list_train: str) -> str:
+    s = (root_dataset or "") + " " + (list_train or "")
+    if "GLEASON" in s:
+        return "gleason"
+    if "Digest" in s:
+        return "digest"
+    if "cityscapes" in s.lower() or "CITYSCAPE" in s:
+        return "cityscapes"
+    if "histo" in s.lower():
+        return "histo"
+    if "DeepGlob" in s or "deepglob" in s.lower():
+        return "deepglob"
+    return "ade"
+
+
+def family_label_mapping(family: str, class_mapping: int = 0) -> dict:
+    if family == "gleason":
+        return GLEASON_MAPPINGS.get(class_mapping, GLEASON_MAPPINGS[0])
+    if family == "digest":
+        return DIGEST_MAPPING
+    if family == "cityscapes":
+        return CITYSCAPES_MAPPING
+    return {}
+
+
+def parse_odgt(odgt, max_sample: int = -1, start_idx: int = -1, end_idx: int = -1):
+    """.odgt json-lines -> list of dicts (BaseDataset:240-252)."""
+    if isinstance(odgt, str):
+        with open(odgt) as f:
+            samples = [json.loads(line) for line in f if line.strip()]
+    else:
+        samples = list(odgt)
+    if max_sample > 0:
+        samples = samples[:max_sample]
+    if start_idx >= 0 and end_idx >= 0:
+        samples = samples[start_idx:end_idx]
+    assert samples, "empty odgt"
+    return samples
+
+
+def round2nearest_multiple(x: int, p: int) -> int:
+    return ((x - 1) // p + 1) * p
+
+
+@dataclass
+class OdgtDataset:
+    """Shared loading/transform machinery (BaseDataset equivalent)."""
+
+    root_dataset: str
+    odgt: object
+    num_class: int = 150
+    class_mapping: int = 0
+    list_train: str = ""
+    imgSizes: tuple = (300, 375, 450, 525, 600)
+    imgMaxSize: int = 1000
+    padding_constant: int = 8
+    segm_downsampling_rate: int = 8
+    random_flip: str = "Flip"
+    samples: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self.samples = parse_odgt(self.odgt)
+        self.family = detect_family(self.root_dataset, self.list_train)
+        self.mean, self.std = NORMALIZATION[self.family]
+        self.label_mapping = family_label_mapping(self.family, self.class_mapping)
+
+    def __len__(self):
+        return len(self.samples)
+
+    # -- transforms ---------------------------------------------------------
+    def img_transform(self, img: np.ndarray) -> np.ndarray:
+        """uint8 HWC -> normalized float32 HWC (BaseDataset:257-262)."""
+        x = np.asarray(img, np.float32) / 255.0
+        return (x - np.asarray(self.mean, np.float32)) / np.asarray(self.std, np.float32)
+
+    def segm_transform(self, segm: np.ndarray) -> np.ndarray:
+        """apply family mapping then the 1-based -> 0-based '-1' shift
+        (ignore becomes -1; dataset.py:278-283)."""
+        s = np.asarray(segm, np.int64)
+        if self.label_mapping:
+            out = np.zeros_like(s)
+            for k, v in self.label_mapping.items():
+                out[s == k] = v
+            s = out
+        return s - 1
+
+    def _load_pair(self, rec: dict):
+        from PIL import Image
+
+        img = Image.open(os.path.join(self.root_dataset, rec["fpath_img"])).convert("RGB")
+        segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
+        return img, segm
+
+    def _scaled_size(self, w: int, h: int, this_short_size: int):
+        scale = min(this_short_size / float(min(h, w)), self.imgMaxSize / float(max(h, w)))
+        tw = round2nearest_multiple(int(w * scale), self.padding_constant)
+        th = round2nearest_multiple(int(h * scale), self.padding_constant)
+        return tw, th
+
+
+class TrainDataset(OdgtDataset):
+    """Aspect-ratio-grouped random batches (TrainDataset:290-561)."""
+
+    def batches(self, batch_per_gpu: int, seed: int = 0):
+        from PIL import Image
+
+        rng = random.Random(seed)
+        order = list(range(len(self.samples)))
+        rng.shuffle(order)
+        groups = [[], []]  # h > w, h <= w (dataset.py:314-334)
+        for idx in order:
+            rec = self.samples[idx]
+            groups[0 if rec["height"] > rec["width"] else 1].append(idx)
+            g = groups[0] if len(groups[0]) >= batch_per_gpu else (
+                groups[1] if len(groups[1]) >= batch_per_gpu else None
+            )
+            if g is None:
+                continue
+            batch_idx = g[:batch_per_gpu]
+            del g[:batch_per_gpu]
+            yield self._make_batch(batch_idx, rng)
+
+    def _make_batch(self, idxs, rng):
+        from PIL import Image
+
+        this_short_size = rng.choice(self.imgSizes)
+        recs = [self.samples[i] for i in idxs]
+        sizes = [self._scaled_size(r["width"], r["height"], this_short_size) for r in recs]
+        bw = max(s[0] for s in sizes)
+        bh = max(s[1] for s in sizes)
+        r = self.segm_downsampling_rate
+        imgs = np.zeros((len(recs), bh, bw, 3), np.float32)
+        segms = np.full((len(recs), bh // r, bw // r), -1, np.int64)
+        for i, (rec, (tw, th)) in enumerate(zip(recs, sizes)):
+            img, segm = self._load_pair(rec)
+            if self.random_flip == "Flip" and rng.random() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                segm = segm.transpose(Image.FLIP_LEFT_RIGHT)
+            img = img.resize((tw, th), Image.BILINEAR)
+            segm = segm.resize((tw, th), Image.NEAREST)
+            imgs[i, :th, :tw] = self.img_transform(np.asarray(img))
+            sd = segm.resize((tw // r, th // r), Image.NEAREST)
+            segms[i, : th // r, : tw // r] = self.segm_transform(np.asarray(sd))
+        return {"img_data": imgs, "seg_label": segms}
+
+
+class ValDataset(OdgtDataset):
+    """Single-sample multi-scale eval records (ValDataset:618-713)."""
+
+    def __getitem__(self, idx: int) -> dict:
+        from PIL import Image
+
+        rec = self.samples[idx]
+        img, segm = self._load_pair(rec)
+        w, h = img.size
+        img_list = []
+        for short in (self.imgSizes if isinstance(self.imgSizes, (list, tuple)) else [self.imgSizes]):
+            tw, th = self._scaled_size(w, h, short)
+            scaled = img.resize((tw, th), Image.BILINEAR)
+            img_list.append(self.img_transform(np.asarray(scaled))[None])
+        return {
+            "img_ori": np.asarray(img, np.float32) / 255.0,
+            "img_data": img_list,
+            "seg_label": self.segm_transform(np.asarray(segm))[None],
+            "info": rec.get("fpath_img", str(idx)),
+        }
+
+
+class TestDataset(OdgtDataset):
+    """Label-free test records (TestDataset:716-808)."""
+
+    def __getitem__(self, idx: int) -> dict:
+        from PIL import Image
+
+        rec = self.samples[idx]
+        img = Image.open(os.path.join(self.root_dataset, rec["fpath_img"])).convert("RGB")
+        w, h = img.size
+        img_list = []
+        for short in (self.imgSizes if isinstance(self.imgSizes, (list, tuple)) else [self.imgSizes]):
+            tw, th = self._scaled_size(w, h, short)
+            img_list.append(self.img_transform(np.asarray(img.resize((tw, th), Image.BILINEAR)))[None])
+        return {
+            "img_ori": np.asarray(img, np.float32) / 255.0,
+            "img_data": img_list,
+            "info": rec.get("fpath_img", str(idx)),
+        }

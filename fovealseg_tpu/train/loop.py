@@ -121,11 +121,16 @@ def fit(
 ) -> object:
     """Full driver: epochs [start_epoch, num_epoch) with the reference's
     checkpoint/eval cadence and skip_train_for_eval support."""
+    from fovealseg_tpu.utils.observe import SummaryWriter
+
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.TRAIN.seed)
     ckpt_dir = cfg.DIR
     os.makedirs(ckpt_dir, exist_ok=True)
     history: list[dict] = []
     eval_history: list[dict] = []
+    # TB scalar names mirror the reference writer (train_deform_semantic.py:
+    # 403, 521-559)
+    writer = SummaryWriter(os.path.join(ckpt_dir, "tensorboard"))
 
     for epoch0 in range(cfg.TRAIN.start_epoch, cfg.TRAIN.num_epoch):
         epoch = epoch0 + 1
@@ -136,6 +141,9 @@ def fit(
                 train_step, state, train_loader(epoch), epoch, cfg, sub, history
             )
             log.info("epoch %d train: %s", epoch, json.dumps(summary))
+            writer.add_scalar("Loss/train", summary["loss"], epoch)
+            writer.add_scalar("Acc/train", summary["acc"], epoch)
+            writer.add_scalar("edge_loss/train", summary["edge_loss"], epoch)
             if cfg.TRAIN.save_checkpoint and (
                 epoch % cfg.TRAIN.checkpoint_per_epoch == 0 or epoch == cfg.TRAIN.num_epoch
             ):
@@ -146,8 +154,11 @@ def fit(
             mets = evaluate_1epoch(eval_step, state, val_loader())
             log.info("epoch %d eval: %s", epoch, json.dumps(mets))
             eval_history.append({"epoch": epoch, **mets})
+            for k, v in mets.items():
+                writer.add_scalar(f"{k}/val", v, epoch)
         write_history_csv(os.path.join(ckpt_dir, "history_epoch_last_0.csv"), history)
         write_history_csv(os.path.join(ckpt_dir, "eval_history.csv"), eval_history)
         if cfg.TRAIN.skip_train_for_eval:
             break
+    writer.close()
     return state

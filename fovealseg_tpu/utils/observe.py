@@ -1,0 +1,157 @@
+"""Observability: logger, TensorBoard writer, memory introspection, io.
+
+Covers the reference's aux surface (SURVEY.md §5/§2.7):
+
+* ``setup_logger`` (utils.py:103-115) — stdout + file logger.
+* TensorBoard scalars/images (train_deform_semantic.py:403,521-559) via
+  torch.utils.tensorboard when available, else a JSONL fallback writer with
+  the same add_scalar/add_image surface.
+* ``try_gpu``/``RAM`` (DynamicFocus/d_model/nn_A0_utils.py:47-73, 342) —
+  TPU-era equivalents: live device-memory stats via jax, and a tensor attr
+  bag with explicit GC.
+* ``fctn`` io helpers (utility/fctn.py:104-135) — image/json/pickle/npy io.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+import sys
+import time
+from typing import Any
+
+import numpy as np
+
+
+def setup_logger(distributed_rank: int = 0, filename: str | None = None) -> logging.Logger:
+    """stdout(+file) logger with the reference's format (utils.py:103-115)."""
+    logger = logging.getLogger("fovealseg")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("[%(asctime)s %(levelname)s %(filename)s:%(lineno)d] %(message)s")
+    if distributed_rank == 0:
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if filename:
+            fh = logging.FileHandler(filename)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    return logger
+
+
+class SummaryWriter:
+    """add_scalar/add_image surface; torch TB backend when importable,
+    JSONL + PNG fallback otherwise."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter as TBW
+
+            self._tb = TBW(log_dir)
+        except Exception:
+            self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+        else:
+            self._jsonl.write(json.dumps({"tag": tag, "value": float(value),
+                                          "step": int(step), "ts": time.time()}) + "\n")
+            self._jsonl.flush()
+
+    def add_image(self, tag: str, img_hwc01: np.ndarray, step: int) -> None:
+        if self._tb is not None:
+            import torch
+
+            self._tb.add_image(tag, torch.from_numpy(
+                np.asarray(img_hwc01, np.float32)).permute(2, 0, 1), step)
+        else:
+            from fovealseg_tpu.utils.visuals import save_rgb01
+
+            save_rgb01(img_hwc01, os.path.join(self.log_dir, f"{tag.replace('/', '_')}_{step}.png"))
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        else:
+            self._jsonl.close()
+
+
+def device_memory_stats() -> list[dict]:
+    """Per-device live memory (the TPU-era try_gpu; nn_A0_utils.py:47-73
+    polled nvidia-smi)."""
+    import jax
+
+    out = []
+    for d in jax.devices():
+        try:
+            s = d.memory_stats() or {}
+        except Exception:
+            s = {}
+        out.append({
+            "device": str(d),
+            "bytes_in_use": s.get("bytes_in_use"),
+            "bytes_limit": s.get("bytes_limit"),
+        })
+    return out
+
+
+class RAM:
+    """Tensor attr bag with explicit gc (nn_A0_utils.RAM)."""
+
+    def gc(self):
+        for k in list(self.__dict__):
+            delattr(self, k)
+
+
+# -- fctn io helpers (utility/fctn.py:104-135) -------------------------------
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def save_image(img01: np.ndarray, path: str) -> None:
+    from fovealseg_tpu.utils.visuals import save_rgb01
+
+    save_rgb01(img01, path)
+
+
+def save_json(obj: Any, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def load_json(path: str) -> Any:
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_pickle(obj: Any, path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_pickle(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_tensor(arr, path: str) -> None:
+    np.save(path, np.asarray(arr))
+
+
+def load_tensor(path: str) -> np.ndarray:
+    return np.load(path)
+
+
+def xprint(*args, flush: bool = True, **kwargs) -> None:
+    """Timestamped print (utility/xprint.py)."""
+    print(time.strftime("[%H:%M:%S]"), *args, flush=flush, **kwargs)

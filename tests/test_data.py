@@ -1,0 +1,151 @@
+"""Data pipeline tests: LVIS cooker round-trip, ODGT datasets, cityscapes
+cooker, loader utilities."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fovealseg_tpu.data.cityscapes import DatasetCityscapes, PreprocessCityscapes
+from fovealseg_tpu.data.loader import CachedDataset, prefetch
+from fovealseg_tpu.data.lvis import (
+    CIDS_MONITORED,
+    DatasetLVIS,
+    PreprocessLVIS,
+    convert_index,
+    rasterize_polygon,
+)
+from fovealseg_tpu.data.odgt import TrainDataset, ValDataset, parse_odgt
+
+
+def test_rasterize_polygon_square():
+    poly = np.array([[2, 2], [8, 2], [8, 8], [2, 8]], dtype=np.float64)  # (x, y)
+    m = rasterize_polygon(poly, 12, 12)
+    assert m[5, 5] and not m[0, 0] and not m[10, 10]
+    assert 30 <= m.sum() <= 49
+
+
+def test_convert_index():
+    assert convert_index(77) == 0
+    assert convert_index(150) == 50
+    assert convert_index(999999) == 0
+
+
+def test_lvis_cooker_roundtrip(tmp_path, rng):
+    # synthetic LVIS json: 2 images, 3 annotations over monitored classes
+    lvis = {
+        "images": [
+            {"id": 1, "height": 100, "width": 120},
+            {"id": 2, "height": 80, "width": 80},
+        ],
+        "annotations": [
+            {"id": 10, "image_id": 1, "category_id": CIDS_MONITORED[0],
+             "segmentation": [[10, 10, 60, 10, 60, 50, 10, 50]]},
+            {"id": 11, "image_id": 2, "category_id": CIDS_MONITORED[1],
+             "segmentation": [[5, 5, 40, 5, 40, 40]]},
+            {"id": 12, "image_id": 1, "category_id": CIDS_MONITORED[2],
+             "segmentation": [[70, 20, 110, 20, 110, 60, 70, 60]]},
+        ],
+    }
+    jpath = tmp_path / "lvis.json"
+    jpath.write_text(json.dumps(lvis))
+    cook_dir = tmp_path / "cook"
+    pre = PreprocessLVIS(str(jpath), str(cook_dir), canvas=128)
+    written = pre.make_n_samples(3)
+    assert len(written) == 3
+    # pkl cache created
+    assert os.path.exists(str(jpath) + ".pkl")
+
+    ds = DatasetLVIS(str(cook_dir), image_root=None, canvas=128)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["img_data"].shape == (128, 128, 3)
+    assert s["seg_label"].shape == (128, 128)
+    assert 0.0 <= s["focus_point"][0] <= 1.0
+    # the gaze pixel lands inside the padded mask
+    gy = int(round(s["focus_point"][0] * 128))
+    gx = int(round(s["focus_point"][1] * 128))
+    assert s["seg_label"][gy, gx] == 1.0
+    b = next(ds.batches(2, shuffle=False))
+    assert b["img_data"].shape == (2, 128, 128, 3)
+    assert b["cls_label"].dtype == np.int32
+
+
+def test_odgt_train_and_val(tmp_path, rng):
+    from PIL import Image
+
+    root = tmp_path
+    recs = []
+    for i in range(4):
+        w, h = (48, 64) if i % 2 else (64, 48)
+        img = Image.fromarray((rng.uniform(0, 255, (h, w, 3))).astype(np.uint8))
+        seg = Image.fromarray(rng.integers(1, 5, (h, w)).astype(np.uint8))
+        img.save(root / f"im{i}.png")
+        seg.save(root / f"seg{i}.png")
+        recs.append({"fpath_img": f"im{i}.png", "fpath_segm": f"seg{i}.png",
+                     "width": w, "height": h})
+    odgt = root / "train.odgt"
+    odgt.write_text("\n".join(json.dumps(r) for r in recs))
+
+    ds = TrainDataset(str(root), str(odgt), list_train="ADE_train",
+                      imgSizes=(32,), imgMaxSize=64, padding_constant=8,
+                      segm_downsampling_rate=1)
+    batches = list(ds.batches(2, seed=0))
+    assert batches, "no batches formed"
+    b = batches[0]
+    assert b["img_data"].ndim == 4 and b["img_data"].shape[-1] == 3
+    assert b["seg_label"].min() >= -1  # -1 shift applied
+
+    vds = ValDataset(str(root), str(odgt), list_train="ADE_val",
+                     imgSizes=(32,), imgMaxSize=64, padding_constant=8)
+    v = vds[0]
+    assert v["seg_label"].min() >= -1
+    assert v["img_data"][0].ndim == 4
+
+
+def test_cityscapes_cooker(tmp_path):
+    gt = tmp_path / "gtFine" / "train" / "city"
+    gt.mkdir(parents=True)
+    meta = {
+        "imgHeight": 100, "imgWidth": 200,
+        "objects": [
+            {"label": "car", "polygon": [[20, 20], [80, 20], [80, 60], [20, 60]]},
+            {"label": "sky", "polygon": [[0, 0], [199, 0], [199, 10], [0, 10]]},
+            {"label": "license plate", "polygon": [[0, 0], [5, 0], [5, 5]]},
+        ],
+    }
+    (gt / "city_000000_gtFine_polygons.json").write_text(json.dumps(meta))
+    cook = tmp_path / "cook"
+    pre = PreprocessCityscapes(str(tmp_path / "gtFine" / "train"), str(cook), canvas_hw=(50, 100))
+    written = pre.cook()
+    assert len(written) == 2  # license plate is not a train class
+    ds = DatasetCityscapes(str(cook))
+    s = ds[0]
+    assert s["img_data"].shape == (50, 100, 3)
+    assert s["seg_label"].sum() > 0
+
+
+def test_cached_dataset_and_prefetch():
+    calls = []
+
+    class DS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            calls.append(i)
+            return i * 10
+
+    ds = CachedDataset(DS())
+    assert ds[1] == 10 and ds[1] == 10
+    assert calls == [1]
+    out = list(prefetch(iter(range(5)), size=2, transform=lambda x: x + 1))
+    assert out == [1, 2, 3, 4, 5]
+
+    def boom():
+        yield 1
+        raise ValueError("x")
+
+    with pytest.raises(ValueError):
+        list(prefetch(boom()))
