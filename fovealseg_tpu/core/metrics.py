@@ -100,6 +100,33 @@ def confusion_matrix(preds: jnp.ndarray, label: jnp.ndarray, num_class: int) -> 
     return flat[: num_class * num_class].reshape(num_class, num_class)
 
 
+def trimap_band(label: np.ndarray, width: int = 5) -> np.ndarray:
+    """Boundary band mask: pixels within ``width`` (Chebyshev) of a class
+    boundary — the VAL.trimap evaluation region (eval.py trimap path;
+    VAL.trimap_dia_factor). Host-side numpy."""
+    lab = np.asarray(label)
+    pad = np.pad(lab, 1, mode="edge")
+    boundary = (
+        (pad[1:-1, 1:-1] != pad[:-2, 1:-1])
+        | (pad[1:-1, 1:-1] != pad[2:, 1:-1])
+        | (pad[1:-1, 1:-1] != pad[1:-1, :-2])
+        | (pad[1:-1, 1:-1] != pad[1:-1, 2:])
+    )
+    band = boundary.copy()
+    for _ in range(width):
+        p = np.pad(band, 1, mode="constant")
+        band = p[1:-1, 1:-1] | p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:]
+    return band
+
+
+def trimap_accuracy(preds: np.ndarray, label: np.ndarray, width: int = 5) -> float:
+    """Pixel accuracy restricted to the boundary band (VAL.trimap)."""
+    band = trimap_band(label, width)
+    if band.sum() == 0:
+        return float("nan")
+    return float((preds[band] == label[band]).mean())
+
+
 def binary_dice(preds: np.ndarray, label: np.ndarray) -> float:
     """Binary Dice coefficient (VAL.dice path)."""
     inter = np.sum((preds > 0) & (label > 0))

@@ -81,14 +81,19 @@ def nearest_seed_jfa(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.nd
 
 
 def _nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:
-    """Dispatch: fused Pallas JFA kernel on TPU, lax JFA elsewhere."""
-    try:
-        if jax.devices()[0].platform == "tpu":
-            from fovealseg_tpu.ops.pallas_jfa import nearest_seed_pallas
+    """Dispatch: fused Pallas JFA kernel on TPU (opt-in via
+    FOVEALSEG_PALLAS_JFA=1 — the fully-unrolled kernel trades a long Mosaic
+    compile for fewer HBM round-trips per step), else the lax JFA."""
+    import os
 
-            return nearest_seed_pallas(valid, num_iters)
-    except Exception:
-        pass
+    if os.environ.get("FOVEALSEG_PALLAS_JFA") == "1":
+        try:
+            if jax.devices()[0].platform == "tpu":
+                from fovealseg_tpu.ops.pallas_jfa import nearest_seed_pallas
+
+                return nearest_seed_pallas(valid, num_iters)
+        except Exception:
+            pass
     return nearest_seed_jfa(valid, num_iters)
 
 

@@ -152,10 +152,20 @@ class DeformSegmentation(nn.Module):
         pred = self.decoder(feats, train=train)
         return dict(xs=xs, grid=grid, grid_y=grid_y, x_sampled=x_sampled, pred=pred)
 
-    def infer(self, x, focus_point, seg_hw: tuple[int, int] | None = None):
+    def infer(
+        self,
+        x,
+        focus_point,
+        seg_hw: tuple[int, int] | None = None,
+        y=None,
+        y_sampled_reverse: bool = False,
+        x_sampled_reverse: bool = False,
+    ):
         """Full-resolution inference with inverse warp + hole fill
         (models/models_instance.py:839-949). Returns dict with
-        ``pred_sampled`` [B, Hs, Ws, C] full-res logits and intermediates."""
+        ``pred_sampled`` [B, Hs, Ws, C] full-res logits and intermediates;
+        the optional VAL.y_sampled_reverse / VAL.x_sampled_reverse round
+        trips (models_instance.py:875-933) are computed when requested."""
         c = self.config
         seg_hw = seg_hw or (x.shape[1], x.shape[2])
         xs = self.saliency(x, focus_point, train=False)
@@ -168,7 +178,7 @@ class DeformSegmentation(nn.Module):
         pred_sampled = unwarp_prediction(
             pred.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp
         )
-        return dict(
+        out = dict(
             xs=xs,
             grid=grid,
             grid_y=grid_y,
@@ -178,3 +188,15 @@ class DeformSegmentation(nn.Module):
             pred=pred,
             pred_sampled=pred_sampled,
         )
+        if y_sampled_reverse and y is not None:
+            # intrinsic-upsampling-error probe: label down then back up
+            y_s = grid_sample(y.astype(jnp.float32)[..., None], grid_y, mode="nearest")
+            out["y_sampled"] = y_s[..., 0]
+            out["y_sampled_reverse"] = unwarp_prediction(
+                y_s, grid_inv, valid, interp=c.rev_deform_interp
+            )[..., 0]
+        if x_sampled_reverse:
+            out["x_sampled_reverse"] = unwarp_prediction(
+                x_sampled.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp
+            )
+        return out

@@ -29,7 +29,7 @@ def _import_into(flax_module, sample, kind, torch_module, method=None):
     wrapped_p = {_TOP[kind]: params}
     wrapped_s = {_TOP[kind]: stats}
     new_p, new_s = import_torch_state_dict(sd, wrapped_p, wrapped_s)
-    return {"params": new_p[_TOP[kind]], "batch_stats": new_s[_TOP[kind]]}
+    return {"params": new_p[_TOP[kind]], "batch_stats": new_s.get(_TOP[kind], {})}
 
 
 _TOP = {

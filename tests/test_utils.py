@@ -1,0 +1,114 @@
+"""Utility-surface tests: torch_tools, visuals, aria filenames, trimap,
+croper/metrics/earlystop, observe io."""
+
+import numpy as np
+
+from fovealseg_tpu.core.metrics import trimap_accuracy, trimap_band
+from fovealseg_tpu.data.aria_adt import fname2info, info2fname, make_cache_summary
+from fovealseg_tpu.utils.dynamicfocus import (
+    EarlyStopMax,
+    EarlyStopMin,
+    calc_confusion_matrix,
+    calc_metrics,
+    evaluate_segmentation,
+    get_idxs_crop4,
+)
+from fovealseg_tpu.utils.observe import RAM, load_json, save_json, xprint
+from fovealseg_tpu.utils.torch_tools import (
+    cross_fold,
+    cross_unfold,
+    get_padding,
+    interpolate_int,
+)
+from fovealseg_tpu.utils.visuals import generate_colormap_colors, red_dot_overlay, rgb_img
+
+
+def test_cross_fold_roundtrip(rng):
+    x = rng.integers(0, 9, (2, 8, 16))
+    assert (cross_fold(cross_unfold(x, 2)) == x).all()
+
+
+def test_interpolate_int_majority():
+    x = np.array([[1, 1, 2, 2], [1, 3, 2, 2], [0, 0, 5, 5], [0, 0, 5, 5]])
+    out = interpolate_int(x, degree=1)
+    assert out.tolist() == [[1, 2], [0, 5]]
+
+
+def test_get_padding():
+    l, r, t, b = get_padding(30, 62, 32)
+    assert (30 + t + b) % 32 == 0 and (62 + l + r) % 32 == 0
+
+
+def test_rgb_img_palette():
+    colors = generate_colormap_colors(51)
+    assert len(colors) == 51 and colors[-1] == (0, 0, 0)
+    img = rgb_img(np.array([[0, 50], [25, 1]]))
+    arr = np.asarray(img)
+    assert arr.shape == (2, 2, 3)
+    assert (arr[0, 1] == 0).all()  # background is black
+
+
+def test_red_dot_overlay():
+    img = np.zeros((8, 8, 3), np.float32)
+    m = np.zeros((8, 8), bool)
+    m[4, 4] = True
+    out = red_dot_overlay(img, m)
+    assert (out[4, 4] == [1, 0, 0]).all()
+    assert (out[3, 4] == [1, 0, 0]).all()  # dilated
+
+
+def test_aria_fname_roundtrip(tmp_path):
+    info = {"fid": [12], "ts": [123, 456], "cat": "chair", "gz": [100, 200], "cid": [7]}
+    name = info2fname(info) + ".png"
+    parsed = fname2info(name)
+    assert parsed["fid"] == [12] and parsed["cat"] == "chair" and parsed["gz"] == [100, 200]
+    # summary over a dir
+    from PIL import Image
+
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(tmp_path / name)
+    rows = make_cache_summary(str(tmp_path))
+    assert len(rows) == 1 and rows[0]["cid"] == [7]
+
+
+def test_trimap_band_and_accuracy():
+    lab = np.zeros((16, 16), np.int64)
+    lab[:, 8:] = 1
+    band = trimap_band(lab, width=2)
+    assert band[:, 7].all() and band[:, 9].all() and not band[:, 0].any()
+    pred = lab.copy()
+    assert trimap_accuracy(pred, lab, 2) == 1.0
+
+
+def test_croper_bounds():
+    for args in [(0, 0, 16, 16, 4, 4), (15, 15, 16, 16, 4, 4), (8, 8, 16, 16, 5, 5)]:
+        left, right, up, bottom = get_idxs_crop4(*args)
+        assert 0 <= left < right <= 16 and 0 <= up < bottom <= 16
+        assert right - left == args[5] and bottom - up == args[4]
+
+
+def test_dynamicfocus_metrics(rng):
+    preds = rng.integers(0, 3, 100)
+    tgts = rng.integers(0, 3, 100)
+    cm = calc_confusion_matrix(preds, tgts, 3)
+    assert cm.sum() == 300  # each class row sums to N
+    iou, f1, acc, p, r = calc_metrics(cm)
+    assert ((0 <= iou) & (iou <= 1)).all()
+    seg_iou, *_ = evaluate_segmentation(rng.uniform(0, 1, (2, 8, 8)), rng.uniform(0, 1, (2, 8, 8)))
+    assert len(seg_iou) == 2
+
+
+def test_earlystop():
+    m = EarlyStopMin()
+    assert m.check(1.0) and not m.check(2.0) and m.check(0.5)
+    x = EarlyStopMax()
+    assert x.check(1.0) and not x.check(0.5) and x.check(2.0)
+
+
+def test_observe_io(tmp_path):
+    save_json({"a": 1}, str(tmp_path / "x.json"))
+    assert load_json(str(tmp_path / "x.json")) == {"a": 1}
+    bag = RAM()
+    bag.t = np.ones(3)
+    bag.gc()
+    assert not hasattr(bag, "t")
+    xprint("hello")
