@@ -176,6 +176,26 @@ class GridSolver:
         return grid, grid_y
 
 
+def inverse_grid_index(grid: jnp.ndarray, seg_hw: tuple[int, int]) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-based inverse map as raw flat task indices.
+
+    Returns (task_idx [B, Hs, Ws] int32 with -1 at holes, valid bool mask).
+    ``inverse_grid`` derives the reference's NaN-holed coordinate grid from
+    this; the fast inverse-warp path consumes the indices directly.
+    """
+    b, th, tw, _ = grid.shape
+    hs, ws = seg_hw
+    u = jnp.floor((grid[..., 0] + 1.0) / 2.0 * (ws - 1)).astype(jnp.int32)
+    v = jnp.floor((grid[..., 1] + 1.0) / 2.0 * (hs - 1)).astype(jnp.int32)
+    target = (v * ws + u).reshape(b, th * tw)
+
+    flat_task = jnp.broadcast_to(jnp.arange(th * tw, dtype=jnp.int32)[None], (b, th * tw))
+    canvas = jnp.full((b, hs * ws), -1, dtype=jnp.int32)
+    canvas = canvas.at[jnp.arange(b)[:, None], target].max(flat_task)
+    canvas = canvas.reshape(b, hs, ws)
+    return canvas, canvas >= 0
+
+
 def inverse_grid(grid: jnp.ndarray, seg_hw: tuple[int, int]) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Scatter-based inverse deformation grid (models/models.py:640-655).
 
@@ -189,22 +209,13 @@ def inverse_grid(grid: jnp.ndarray, seg_hw: tuple[int, int]) -> tuple[jnp.ndarra
       valid:    [B, Hs, Ws] bool — True where a task pixel landed.
     """
     b, th, tw, _ = grid.shape
-    hs, ws = seg_hw
-    u = jnp.floor((grid[..., 0] + 1.0) / 2.0 * (ws - 1)).astype(jnp.int32)
-    v = jnp.floor((grid[..., 1] + 1.0) / 2.0 * (hs - 1)).astype(jnp.int32)
-    target = (v * ws + u).reshape(b, th * tw)
-
-    flat_task = jnp.broadcast_to(jnp.arange(th * tw, dtype=jnp.int32)[None], (b, th * tw))
-    canvas = jnp.full((b, hs * ws), -1, dtype=jnp.int32)
-    canvas = canvas.at[jnp.arange(b)[:, None], target].max(flat_task)
-
-    valid = canvas >= 0
+    canvas, valid = inverse_grid_index(grid, seg_hw)
     safe = jnp.maximum(canvas, 0)
     j_rec = (safe % tw).astype(jnp.float32)
     i_rec = (safe // tw).astype(jnp.float32)
     gx = j_rec / tw * 2.0 - 1.0
     gy = i_rec / th * 2.0 - 1.0
     nan = jnp.float32(jnp.nan)
-    gx = jnp.where(valid, gx, nan).reshape(b, hs, ws)
-    gy = jnp.where(valid, gy, nan).reshape(b, hs, ws)
-    return jnp.stack([gx, gy], axis=-1), valid.reshape(b, hs, ws)
+    gx = jnp.where(valid, gx, nan)
+    gy = jnp.where(valid, gy, nan)
+    return jnp.stack([gx, gy], axis=-1), valid

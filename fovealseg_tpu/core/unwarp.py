@@ -97,6 +97,80 @@ def _nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarr
     return nearest_seed_jfa(valid, num_iters)
 
 
+def nearest_seed_payload(
+    valid: jnp.ndarray, payload: jnp.ndarray, num_iters: int | None = None
+) -> jnp.ndarray:
+    """JFA that carries an int32 payload with each seed: returns [B, H, W]
+    with every pixel holding the payload of its nearest valid pixel. Saves
+    the separate payload gather after seed computation."""
+    b, h, w = valid.shape
+    if num_iters is None:
+        num_iters = max(1, math.ceil(math.log2(max(h, w))))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+
+    seed_y = jnp.where(valid, rows, 0)
+    seed_x = jnp.where(valid, cols, 0)
+    pay = jnp.where(valid, payload, 0)
+    inf = jnp.float32(jnp.inf)
+    best = jnp.where(valid, jnp.float32(0), inf)
+
+    steps = [1 << (num_iters - 1 - i) for i in range(num_iters)] + [1]
+    for k in steps:
+        for dy in (-k, 0, k):
+            for dx in (-k, 0, k):
+                if dy == 0 and dx == 0:
+                    continue
+                cy = _shift2d(seed_y, dy, dx)
+                cx = _shift2d(seed_x, dy, dx)
+                cp = _shift2d(pay, dy, dx)
+                cb = _shift2d(best, dy, dx)
+                ddy = (cy - rows).astype(jnp.float32)
+                ddx = (cx - cols).astype(jnp.float32)
+                d = jnp.where(cb < inf, ddy * ddy + ddx * ddx, inf)
+                better = d < best
+                seed_y = jnp.where(better, cy, seed_y)
+                seed_x = jnp.where(better, cx, seed_x)
+                pay = jnp.where(better, cp, pay)
+                best = jnp.where(better, d, best)
+    return pay
+
+
+def halfpixel_avg(pred: jnp.ndarray) -> jnp.ndarray:
+    """P2[i, j] = mean of pred[{i-1, i} x {j-1, j}] with out-of-range taps
+    contributing 0 — exactly torch ``grid_sample``'s zero-padded bilinear
+    sample at half-integer coordinates (i-0.5, j-0.5)."""
+    p = jnp.pad(pred, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    h, w = pred.shape[1], pred.shape[2]
+    return 0.25 * (p[:, :h, :w] + p[:, :h, 1:] + p[:, 1:, :w] + p[:, 1:, 1:])
+
+
+def unwarp_prediction_fast(
+    pred: jnp.ndarray,
+    task_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_iters: int | None = None,
+) -> jnp.ndarray:
+    """Exact fast inverse warp for the reference's own inverse grid.
+
+    The scatter-built grid_inv (core.grid.inverse_grid) always holds
+    half-integer task coordinates (j/tw*2-1 unnormalizes to j-0.5), so the
+    bilinear ``grid_sample(pred, grid_inv)`` is a 2x2 zero-padded average of
+    ``pred`` indexed by the integer task index — one payload-carrying JFA and
+    ONE row gather instead of a coordinate fill + 4-tap gather. Bit-exact
+    (up to float rounding) with
+    ``unwarp_prediction(pred, inverse_grid(...)...,'nearest')``.
+
+    pred: [B, th, tw, C]; task_idx/valid from core.grid.inverse_grid_index.
+    """
+    b, th, tw, c = pred.shape
+    hs, ws = task_idx.shape[1], task_idx.shape[2]
+    tidx = nearest_seed_payload(valid, task_idx, num_iters)  # [B, Hs, Ws]
+    p2 = halfpixel_avg(pred).reshape(b, th * tw, c)
+    out = jnp.take_along_axis(p2, tidx.reshape(b, hs * ws, 1), axis=1)
+    return out.reshape(b, hs, ws, c)
+
+
 def fill_grid_nearest(
     grid_inv: jnp.ndarray, valid: jnp.ndarray, num_iters: int | None = None
 ) -> jnp.ndarray:

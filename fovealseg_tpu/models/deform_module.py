@@ -30,9 +30,9 @@ import jax
 import jax.numpy as jnp
 
 from fovealseg_tpu.core.gaze import focus_distance_map
-from fovealseg_tpu.core.grid import GridSolver, inverse_grid, pad_saliency
+from fovealseg_tpu.core.grid import GridSolver, inverse_grid, inverse_grid_index, pad_saliency
 from fovealseg_tpu.core.interpolate import resize_bilinear
-from fovealseg_tpu.core.unwarp import unwarp_prediction
+from fovealseg_tpu.core.unwarp import unwarp_prediction, unwarp_prediction_fast
 from fovealseg_tpu.core.warp import grid_sample
 
 
@@ -174,10 +174,19 @@ class DeformSegmentation(nn.Module):
         x_sampled = resize_bilinear(x_sampled, c.task_hw_infer)
         feats = self.encoder(x_sampled, train=False)
         pred = self.decoder(feats, train=False)
-        grid_inv, valid = inverse_grid(grid, seg_hw)
-        pred_sampled = unwarp_prediction(
-            pred.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp
-        )
+        task_idx, valid = inverse_grid_index(grid, seg_hw)
+        th, tw = grid.shape[1], grid.shape[2]
+        safe = jnp.maximum(task_idx, 0)
+        gx = jnp.where(valid, (safe % tw) / tw * 2.0 - 1.0, jnp.nan)
+        gy = jnp.where(valid, (safe // tw) / th * 2.0 - 1.0, jnp.nan)
+        grid_inv = jnp.stack([gx, gy], axis=-1)
+        if c.rev_deform_interp == "nearest":
+            # exact fast path: payload JFA + one gather (core/unwarp.py)
+            pred_sampled = unwarp_prediction_fast(pred.astype(jnp.float32), task_idx, valid)
+        else:
+            pred_sampled = unwarp_prediction(
+                pred.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp
+            )
         out = dict(
             xs=xs,
             grid=grid,
