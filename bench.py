@@ -80,8 +80,40 @@ def get_torch_baseline_fps() -> float:
         return float("nan")
 
 
+def measure_fullres_fps(batch: int = 8, iters: int = 5) -> float:
+    """Full-resolution path: forward + inverse warp + hole fill to 640x640."""
+    import jax
+    import jax.numpy as jnp
+
+    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+
+    cfg = DeformConfig(
+        task_hw=(80, 80), task_hw_infer=(80, 80), saliency_hw=(80, 80),
+        gaussian_radius=45, num_class=51, arch_encoder="hrnetv2_nodownsp",
+    )
+    module = DeformSegmentation(config=cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, 640, 640, 3), jnp.float32)
+    f = jnp.full((batch, 2), 0.5, jnp.float32)
+    shapes = jax.eval_shape(module.init, {"params": jax.random.PRNGKey(0)}, x, f)
+    variables = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+
+    def chained(v, x, f, n):
+        def body(_, carry):
+            out = module.apply(v, x + carry, f, method=DeformSegmentation.infer)
+            return jnp.mean(out["pred_sampled"]).astype(x.dtype) * 0.0
+
+        return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, x.dtype))
+
+    run = jax.jit(chained, static_argnums=3)
+    float(run(variables, x, f, iters))
+    t0 = time.perf_counter()
+    float(run(variables, x, f, iters))
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def main():
     fps = measure_jax_fps()
+    fullres = measure_fullres_fps()
     base = get_torch_baseline_fps()
     vs = fps / (5.0 * base) if base == base and base > 0 else 0.0
     print(
@@ -89,8 +121,9 @@ def main():
             {
                 "metric": "foveated_inference_throughput",
                 "value": round(fps, 3),
-                "unit": "frames/sec/chip (640px->80x80, FSNet HRNetV2 bf16)",
+                "unit": "frames/sec/chip (640px->80x80, FSNet HRNetV2 bf16, warped-domain)",
                 "vs_baseline": round(vs, 3),
+                "fullres_inverse_warp_fps": round(fullres, 3),
                 "torch_cpu_baseline_fps": round(base, 3) if base == base else None,
                 "baseline_definition": "5x torch-CPU end-to-end pipeline (BASELINE.md north star)",
             }

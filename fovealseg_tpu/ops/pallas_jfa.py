@@ -7,8 +7,10 @@ round-trips over ~5 MB of state. This kernel keeps the whole state
 (seed_y, seed_x, best-dist) resident in VMEM for the entire chain — one HBM
 read of the validity mask and one write of the result per batch item.
 
-Shifts use static ``k`` per unrolled round, so edge-clamped shifting is a
-static slice + broadcast-edge concat (no gathers — Mosaic-friendly).
+Shifts are circular ``pltpu.roll``s with the wrapped lanes masked invalid
+(standard JFA samples nothing beyond the edges), which keeps the unrolled
+round count Mosaic-friendly. ``nearest_payload_pallas`` additionally carries
+an int32 payload with each seed (used by the fast inverse-warp path).
 
 ``nearest_seed`` dispatches to the kernel on TPU and falls back to the lax
 implementation elsewhere; both are tested for equivalence.
@@ -39,39 +41,60 @@ def _shift_clamp(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return x
 
 
-def _jfa_kernel(valid_ref, out_ref, *, h: int, w: int, steps: tuple):
+def _jfa_kernel(valid_ref, payload_ref, out_ref, *, h: int, w: int, steps: tuple,
+                use_payload: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     valid = valid_ref[0] != 0
 
+    # seeds packed as y*w + x — halves VMEM-resident state (the 640x640
+    # problem would not fit with separate y/x arrays)
     inf = jnp.float32(jnp.inf)
-    seed_y = jnp.where(valid, rows, 0)
-    seed_x = jnp.where(valid, cols, 0)
+    packed0 = rows * w + cols
+    seed = jnp.where(valid, packed0, 0)
+    pay = jnp.where(valid, payload_ref[0], 0)
     best = jnp.where(valid, jnp.float32(0), inf)
+
+    def roll(x, dy, dx):
+        # circular shift; wrapped regions are masked out via `ok` below
+        if dy:
+            x = pltpu.roll(x, -dy % h, 0)
+        if dx:
+            x = pltpu.roll(x, -dx % w, 1)
+        return x
 
     for k in steps:
         for dy in (-k, 0, k):
             for dx in (-k, 0, k):
                 if dy == 0 and dx == 0:
                     continue
-                cy = _shift_clamp(seed_y, dy, dx)
-                cx = _shift_clamp(seed_x, dy, dx)
-                cb = _shift_clamp(best, dy, dx)
-                ddy = (cy - rows).astype(jnp.float32)
-                ddx = (cx - cols).astype(jnp.float32)
-                d = jnp.where(cb < inf, ddy * ddy + ddx * ddx, inf)
+                # in-bounds region of the shifted read (wrapped lanes invalid)
+                ok = jnp.ones((h, w), dtype=jnp.bool_)
+                if dy > 0:
+                    ok &= rows < h - dy
+                elif dy < 0:
+                    ok &= rows >= -dy
+                if dx > 0:
+                    ok &= cols < w - dx
+                elif dx < 0:
+                    ok &= cols >= -dx
+                cand = roll(seed, dy, dx)
+                cb = roll(best, dy, dx)
+                ddy = (cand // w - rows).astype(jnp.float32)
+                ddx = (cand % w - cols).astype(jnp.float32)
+                d = jnp.where(ok & (cb < inf), ddy * ddy + ddx * ddx, inf)
                 better = d < best
-                seed_y = jnp.where(better, cy, seed_y)
-                seed_x = jnp.where(better, cx, seed_x)
+                seed = jnp.where(better, cand, seed)
+                if use_payload:
+                    pay = jnp.where(better, roll(pay, dy, dx), pay)
                 best = jnp.where(better, d, best)
 
-    out_ref[0] = seed_y * w + seed_x
+    out_ref[0] = pay if use_payload else seed
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters", "interpret"))
-def nearest_seed_pallas(valid: jnp.ndarray, num_iters: int | None = None,
-                        interpret: bool = False) -> jnp.ndarray:
-    """Pallas JFA: valid [B, H, W] bool -> nearest-valid flat index [B, H, W]."""
+def _pallas_jfa_call(valid, payload, num_iters, interpret, use_payload):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -79,15 +102,33 @@ def nearest_seed_pallas(valid: jnp.ndarray, num_iters: int | None = None,
     n = num_iters or max(1, math.ceil(math.log2(max(h, w))))
     steps = tuple(1 << (n - 1 - i) for i in range(n)) + (1,)
 
-    kernel = functools.partial(_jfa_kernel, h=h, w=w, steps=steps)
+    kernel = functools.partial(_jfa_kernel, h=h, w=w, steps=steps, use_payload=use_payload)
+    spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=[spec(), spec()],
+        out_specs=spec(),
         interpret=interpret,
-    )(valid.astype(jnp.int32))
+    )(valid.astype(jnp.int32), payload.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "interpret"))
+def nearest_seed_pallas(valid: jnp.ndarray, num_iters: int | None = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Pallas JFA: valid [B, H, W] bool -> nearest-valid flat index [B, H, W]."""
+    return _pallas_jfa_call(valid, jnp.zeros_like(valid, jnp.int32), num_iters,
+                            interpret, use_payload=False)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "interpret"))
+def nearest_payload_pallas(valid: jnp.ndarray, payload: jnp.ndarray,
+                           num_iters: int | None = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Pallas payload-carrying JFA: every pixel gets the payload of its
+    nearest valid pixel (core.unwarp.nearest_seed_payload equivalent)."""
+    return _pallas_jfa_call(valid, payload, num_iters, interpret, use_payload=True)
 
 
 def nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:

@@ -33,9 +33,22 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Place a host batch with the leading dim sharded over the mesh."""
+    """Place a host batch with the leading dim sharded over the mesh
+    (scalars / per-step knobs are replicated)."""
     sharding = NamedSharding(mesh, P(axis))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    replicated = NamedSharding(mesh, P())
+    out = {}
+    for k, v in batch.items():
+        rep = k in _REPLICATED_KEYS or getattr(v, "ndim", 1) == 0
+        out[k] = jax.device_put(v, replicated if rep else sharding)
+    return out
+
+
+_REPLICATED_KEYS = {"edge_scale"}  # per-step scalars, not batch-sharded
+
+
+def _batch_specs(batch: dict, axis: str) -> dict:
+    return {k: (P() if k in _REPLICATED_KEYS else P(axis)) for k in batch}
 
 
 def make_parallel_train_step(module, tx, lcfg, mesh: Mesh, axis: str = "data"):
@@ -55,16 +68,23 @@ def make_parallel_train_step(module, tx, lcfg, mesh: Mesh, axis: str = "data"):
         return inner(state, batch, rng)
 
     state_spec = P()  # fully replicated
-    batch_spec = {k: P(axis) for k in ("img_data", "focus_point", "seg_label", "cls_label")}
+    jitted: dict = {}
 
-    smapped = jax.shard_map(
-        sharded,
-        mesh=mesh,
-        in_specs=(state_spec, batch_spec, P()),
-        out_specs=(state_spec, P()),
-        check_vma=False,
-    )
-    return jax.jit(smapped, donate_argnums=(0,))
+    def call(state, batch, rng):
+        key = frozenset(batch.keys())
+        if key not in jitted:
+            batch_spec = _batch_specs(batch, axis)
+            smapped = jax.shard_map(
+                sharded,
+                mesh=mesh,
+                in_specs=(state_spec, batch_spec, P()),
+                out_specs=(state_spec, P()),
+                check_vma=False,
+            )
+            jitted[key] = jax.jit(smapped, donate_argnums=(0,))
+        return jitted[key](state, batch, rng)
+
+    return call
 
 
 def make_parallel_eval_step(module, lcfg, mesh: Mesh, axis: str = "data"):
@@ -72,15 +92,22 @@ def make_parallel_eval_step(module, lcfg, mesh: Mesh, axis: str = "data"):
 
     inner = make_eval_step(module, lcfg, axis_name=axis)
 
-    batch_spec = {k: P(axis) for k in ("img_data", "focus_point", "seg_label", "cls_label")}
-    smapped = jax.shard_map(
-        inner,
-        mesh=mesh,
-        in_specs=(P(), P(), batch_spec),
-        out_specs=P(),
-        check_vma=False,
-    )
-    return jax.jit(smapped)
+    jitted: dict = {}
+
+    def call(params, batch_stats, batch):
+        key = frozenset(batch.keys())
+        if key not in jitted:
+            smapped = jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(P(), P(), _batch_specs(batch, axis)),
+                out_specs=P(),
+                check_vma=False,
+            )
+            jitted[key] = jax.jit(smapped)
+        return jitted[key](params, batch_stats, batch)
+
+    return call
 
 
 def replicate_state(state, mesh: Mesh):

@@ -63,17 +63,21 @@ def train_one_epoch(
     rng,
     history_rows: Optional[list] = None,
 ) -> tuple[object, dict]:
+    from fovealseg_tpu.train.optim import edge_loss_scale_at
+
     meters = {k: AverageMeter() for k in ("loss", "acc", "edge_loss")}
     tic = time.time()
     i = 0
     for batch in batches:
         rng, sub = jax.random.split(rng)
+        cur_iter = i + (epoch - 1) * cfg.TRAIN.epoch_iters
+        batch = dict(batch)
+        batch["edge_scale"] = jnp.float32(edge_loss_scale_at(cfg, cur_iter, epoch))
         state, mets = train_step(state, batch, sub)
         meters["loss"].update(mets["loss"])
         meters["acc"].update(mets["acc"])
         meters["edge_loss"].update(mets["edge_loss"])
         if i % cfg.TRAIN.disp_iter == 0:
-            cur_iter = i + (epoch - 1) * cfg.TRAIN.epoch_iters
             lrs = poly_running_lrs(cfg, cur_iter)
             log.info(
                 "Epoch: [%d][%d/%d], Time: %.2f, lr_encoder: %.6f, "

@@ -121,6 +121,21 @@ def create_optimizer(cfg) -> optax.GradientTransformation:
     return optax.multi_transform(transforms, label_fn)
 
 
+def edge_loss_scale_at(cfg, cur_iter: int, epoch: int) -> float:
+    """Runtime edge-loss-scale schedule (train_deform_semantic.py:82-88,
+    294-300): stage window override, else poly decay of
+    TRAIN.fixed_edge_loss_scale (when > 0), else the static scale."""
+    if (
+        cfg.TRAIN.stage_adjust_edge_loss != 1.0
+        and cfg.TRAIN.adjust_edge_loss_start_epoch <= epoch <= cfg.TRAIN.adjust_edge_loss_end_epoch
+    ):
+        return cfg.TRAIN.stage_adjust_edge_loss
+    if cfg.TRAIN.fixed_edge_loss_scale > 0.0:
+        scale = (1.0 - float(cur_iter) / max(cfg.TRAIN.max_iters, 1)) ** cfg.TRAIN.edge_loss_pow
+        return max(cfg.TRAIN.fixed_edge_loss_scale * scale, cfg.TRAIN.edge_loss_scale_min)
+    return cfg.TRAIN.edge_loss_scale
+
+
 def poly_running_lrs(cfg, cur_iter: int) -> dict:
     """The running_lr_* values the reference logs (train_deform_semantic.py
     313-317) — poly decay of the configured base LRs; display-only."""

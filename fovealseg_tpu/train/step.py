@@ -69,11 +69,16 @@ class LossConfig:
         )
 
 
-def compute_losses(out: dict, batch: dict, lcfg: LossConfig) -> tuple[jnp.ndarray, dict]:
+def compute_losses(
+    out: dict, batch: dict, lcfg: LossConfig, edge_scale=None
+) -> tuple[jnp.ndarray, dict]:
     """out: DeformSegmentation forward dict; batch: img/seg_label/focus/cls.
 
     batch['seg_label']: [B, H, W] float binary mask; batch['cls_label']: [B]
-    int; returns (total_loss, metrics dict).
+    int; ``edge_scale`` optionally overrides TRAIN.edge_loss_scale as a traced
+    scalar (the reference mutates cfg.TRAIN.edge_loss_scale per iteration —
+    adjust_edge_loss_scale, train_deform_semantic.py:294-300);
+    returns (total_loss, metrics dict).
     """
     y = batch["seg_label"].astype(jnp.float32)
     cls = batch["cls_label"].astype(jnp.int32).reshape(-1)
@@ -84,7 +89,10 @@ def compute_losses(out: dict, batch: dict, lcfg: LossConfig) -> tuple[jnp.ndarra
     # edge target: area-downsampled label (models/models.py:725-730, 886-898)
     gh, gw = xs.shape[1], xs.shape[2]
     xs_target = resize_area(y[..., None], (gh, gw))
-    e_loss = L.edge_loss(xs, xs_target, lcfg.edge_loss_scale, lcfg.edge_norm)
+    if edge_scale is None:
+        edge_scale = batch.get("edge_scale")
+    scale = lcfg.edge_loss_scale if edge_scale is None else edge_scale
+    e_loss = L.edge_loss(xs, xs_target, scale, lcfg.edge_norm)
 
     # label warp: bilinear grid_sample then .long() truncation
     # (models/models.py:880, 966-971)
