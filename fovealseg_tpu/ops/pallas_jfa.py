@@ -57,29 +57,28 @@ def _jfa_kernel(valid_ref, payload_ref, out_ref, *, h: int, w: int, steps: tuple
     pay = jnp.where(valid, payload_ref[0], 0)
     best = jnp.where(valid, jnp.float32(0), inf)
 
+    n_rounds = len(steps)
+    first_k = steps[0]
+
     def roll(x, dy, dx):
-        # circular shift; wrapped regions are masked out via `ok` below
-        if dy:
-            x = pltpu.roll(x, -dy % h, 0)
-        if dx:
-            x = pltpu.roll(x, -dx % w, 1)
+        # circular shift by traced offsets; wrapped lanes masked via `ok`
+        x = pltpu.roll(x, (-dy) % h, 0)
+        x = pltpu.roll(x, (-dx) % w, 1)
         return x
 
-    for k in steps:
-        for dy in (-k, 0, k):
-            for dx in (-k, 0, k):
-                if dy == 0 and dx == 0:
+    def round_body(i, carry):
+        seed, pay, best = carry
+        # k halves each round: first_k, first_k/2, ..., 1, (extra final 1)
+        k = jnp.maximum(first_k >> i, 1)
+        for sy in (-1, 0, 1):
+            for sx in (-1, 0, 1):
+                if sy == 0 and sx == 0:
                     continue
-                # in-bounds region of the shifted read (wrapped lanes invalid)
-                ok = jnp.ones((h, w), dtype=jnp.bool_)
-                if dy > 0:
-                    ok &= rows < h - dy
-                elif dy < 0:
-                    ok &= rows >= -dy
-                if dx > 0:
-                    ok &= cols < w - dx
-                elif dx < 0:
-                    ok &= cols >= -dx
+                dy = sy * k
+                dx = sx * k
+                # candidate at (r, c) reads source (r+dy, c+dx); wrapped
+                # lanes (source out of range) are invalid
+                ok = (rows + dy >= 0) & (rows + dy < h) & (cols + dx >= 0) & (cols + dx < w)
                 cand = roll(seed, dy, dx)
                 cb = roll(best, dy, dx)
                 ddy = (cand // w - rows).astype(jnp.float32)
@@ -90,7 +89,9 @@ def _jfa_kernel(valid_ref, payload_ref, out_ref, *, h: int, w: int, steps: tuple
                 if use_payload:
                     pay = jnp.where(better, roll(pay, dy, dx), pay)
                 best = jnp.where(better, d, best)
+        return seed, pay, best
 
+    seed, pay, best = jax.lax.fori_loop(0, n_rounds, round_body, (seed, pay, best))
     out_ref[0] = pay if use_payload else seed
 
 
@@ -104,13 +105,22 @@ def _pallas_jfa_call(valid, payload, num_iters, interpret, use_payload):
 
     kernel = functools.partial(_jfa_kernel, h=h, w=w, steps=steps, use_payload=use_payload)
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as _pt
+
+        # the carry (packed seed + payload + best) plus rolled temporaries
+        # exceeds the default 16M scoped budget at 640x640
+        kwargs["compiler_params"] = _pt.CompilerParams(vmem_limit_bytes=100 * 2**20)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         grid=(b,),
         in_specs=[spec(), spec()],
         out_specs=spec(),
+        input_output_aliases={1: 0},  # payload buffer reused for the output
         interpret=interpret,
+        **kwargs,
     )(valid.astype(jnp.int32), payload.astype(jnp.int32))
 
 
