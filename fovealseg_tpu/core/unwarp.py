@@ -80,21 +80,35 @@ def nearest_seed_jfa(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.nd
     return seed_y * w + seed_x
 
 
-def _nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:
-    """Dispatch: fused Pallas JFA kernel on TPU (opt-in via
-    FOVEALSEG_PALLAS_JFA=1 — the fully-unrolled kernel trades a long Mosaic
-    compile for fewer HBM round-trips per step), else the lax JFA."""
+def _use_pallas_jfa() -> bool:
     import os
 
-    if os.environ.get("FOVEALSEG_PALLAS_JFA") == "1":
-        try:
-            if jax.devices()[0].platform == "tpu":
-                from fovealseg_tpu.ops.pallas_jfa import nearest_seed_pallas
+    if os.environ.get("FOVEALSEG_PALLAS_JFA") == "0":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
-                return nearest_seed_pallas(valid, num_iters)
-        except Exception:
-            pass
+
+def _nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:
+    """Dispatch: fused VMEM-resident Pallas JFA on TPU (~2.2x the lax chain
+    at 640x640; opt out with FOVEALSEG_PALLAS_JFA=0), else the lax JFA."""
+    if _use_pallas_jfa():
+        from fovealseg_tpu.ops.pallas_jfa import nearest_seed_pallas
+
+        return nearest_seed_pallas(valid, num_iters)
     return nearest_seed_jfa(valid, num_iters)
+
+
+def _nearest_payload(valid: jnp.ndarray, payload: jnp.ndarray,
+                     num_iters: int | None = None) -> jnp.ndarray:
+    """Payload-carrying dispatch (used by the fast inverse-warp path)."""
+    if _use_pallas_jfa():
+        from fovealseg_tpu.ops.pallas_jfa import nearest_payload_pallas
+
+        return nearest_payload_pallas(valid, payload, num_iters)
+    return nearest_seed_payload(valid, payload, num_iters)
 
 
 def nearest_seed_payload(
@@ -165,7 +179,7 @@ def unwarp_prediction_fast(
     """
     b, th, tw, c = pred.shape
     hs, ws = task_idx.shape[1], task_idx.shape[2]
-    tidx = nearest_seed_payload(valid, task_idx, num_iters)  # [B, Hs, Ws]
+    tidx = _nearest_payload(valid, task_idx, num_iters)  # [B, Hs, Ws]
     p2 = halfpixel_avg(pred).reshape(b, th * tw, c)
     out = jnp.take_along_axis(p2, tidx.reshape(b, hs * ws, 1), axis=1)
     return out.reshape(b, hs, ws, c)

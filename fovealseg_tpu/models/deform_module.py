@@ -56,6 +56,8 @@ class DeformConfig:
     fc_dim: int = 960
     rev_deform_interp: str = "nearest"
     uniform_sample: str = ""
+    f_xlr_low_scale: int = 0  # VAL.F_Xlr_low_scale: downscale the saliency
+    # input for efficient inference (eval.py F_Xlr path); 0 = off
 
     @classmethod
     def from_cfg(cls, cfg) -> "DeformConfig":
@@ -77,6 +79,7 @@ class DeformConfig:
             fc_dim=cfg.MODEL.fc_dim,
             rev_deform_interp=cfg.MODEL.rev_deform_interp,
             uniform_sample=cfg.MODEL.uniform_sample,
+            f_xlr_low_scale=cfg.VAL.F_Xlr_low_scale,
         )
 
     def solver(self) -> GridSolver:
@@ -114,8 +117,12 @@ class DeformSegmentation(nn.Module):
         (models/models.py:684-723)."""
         c = self.config
         solver = c.solver()
-        x_low = resize_bilinear(x, c.saliency_hw)
-        fm = focus_distance_map(focus_point, *c.saliency_hw).astype(x.dtype)
+        sal_hw = c.saliency_hw
+        if not train and c.f_xlr_low_scale > 1:
+            # efficient-inference downscale (VAL.F_Xlr_low_scale)
+            sal_hw = (sal_hw[0] // c.f_xlr_low_scale, sal_hw[1] // c.f_xlr_low_scale)
+        x_low = resize_bilinear(x, sal_hw)
+        fm = focus_distance_map(focus_point, *sal_hw).astype(x.dtype)
         x5 = jnp.concatenate([x_low, fm, fm], axis=-1)
         xs = self.localization(x5, train=train)
         xs = self.net_compress(xs, train=train)

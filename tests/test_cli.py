@@ -1,0 +1,70 @@
+"""CLI end-to-end smoke (subprocess, CPU, tiny encoder + synthetic data)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_OPTS = [
+    "TRAIN.task_input_size", "(16,16)",
+    "TRAIN.saliency_input_size", "(16,16)",
+    "MODEL.gaussian_radius", "5",
+    "MODEL.arch_encoder", "hrnetv2_nodownsp_tiny",
+    "TRAIN.deform_joint_loss", "True",
+    "TRAIN.batch_size_per_gpu", "2",
+]
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # may be preempted; cli must still work
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    return env
+
+
+@pytest.mark.slow
+def test_cli_train_smoke(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_tests');"
+         "import sys; sys.argv=['train'] + sys.argv[1:];"
+         "sys.path.insert(0, %r); import importlib.util;"
+         "spec = importlib.util.spec_from_file_location('clitrain', %r);"
+         "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
+         % (REPO, os.path.join(REPO, "cli", "train.py")),
+         "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
+         *TINY_OPTS,
+         "TRAIN.num_epoch", "1", "TRAIN.epoch_iters", "2",
+         "DIR", str(tmp_path / "run")],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert (tmp_path / "run" / "eval_history.csv").exists()
+    assert (tmp_path / "run" / "epoch_last").exists()
+
+
+@pytest.mark.slow
+def test_cli_eval_smoke(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_tests');"
+         "import sys; sys.argv=['eval'] + sys.argv[1:];"
+         "sys.path.insert(0, %r); import importlib.util;"
+         "spec = importlib.util.spec_from_file_location('clieval', %r);"
+         "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
+         % (REPO, os.path.join(REPO, "cli", "eval.py")),
+         "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
+         "--num-batches", "2",
+         *TINY_OPTS, "VAL.batch_size", "2"],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert "mean_iou" in res and 0.0 <= res["mean_iou"] <= 1.0
