@@ -151,7 +151,10 @@ class GridSolver:
             axis=-1,
         )
         f = self._sep_conv_valid(stacked)
-        denom = f[..., 0:1]
+        # tiny eps guards 0/0 when a fixed saliency override (gt_gradient
+        # mode) is zero across an entire kernel window; no effect on the
+        # softmax-saliency path (denominator >= gaussian-weighted mass > 0)
+        denom = f[..., 0:1] + 1e-12
         xg = f[..., 1:2] / denom * 2.0 - 1.0
         yg = f[..., 2:3] / denom * 2.0 - 1.0
         grid = jnp.concatenate([xg, yg], axis=-1)

@@ -146,13 +146,18 @@ class DeformSegmentation(nn.Module):
             )
         return solver.create_grid(xs_hm, c.task_hw, label_hw)
 
-    def __call__(self, x, focus_point, train: bool = False):
+    def __call__(self, x, focus_point, train: bool = False, xs_override=None):
         """Training/warped-domain forward.
 
         x: [B, H, W, 3] in [0, 1]; focus_point: [B, 2] (row, col) in [0, 1].
-        Returns dict(xs, grid, grid_y, x_sampled, pred).
+        ``xs_override`` replaces the predicted saliency with a fixed map
+        (detached), the MODEL.gt_gradient "edge-based sampler" motivational
+        mode (models/models.py:735-782). Returns dict(xs, grid, grid_y,
+        x_sampled, pred).
         """
         xs = self.saliency(x, focus_point, train=train)
+        if xs_override is not None:
+            xs = jax.lax.stop_gradient(xs_override)
         grid, grid_y = self.grids(xs)
         x_sampled = grid_sample(x, grid).astype(self.dtype)
         feats = self.encoder(x_sampled, train=train)

@@ -57,6 +57,11 @@ class LossConfig:
     edge_norm: bool = True  # TRAIN.opt_deform_LabelEdge_norm
     deform_joint_loss: bool = True
     focal_gamma: float = 5.0
+    # non-default edge-target modes (PIL-style chain, core/edges.py)
+    edge_target_softmax: bool = False  # TRAIN.opt_deform_LabelEdge_softmax
+    edge_zero_bound: int = 0  # TRAIN.deform_zero_bound(_factor)
+    edge_blur_radius: float = 1.0  # MODEL.gt_grad_gaussian_blur_r
+    saliency_hw: tuple = (80, 80)
 
     @classmethod
     def from_cfg(cls, cfg) -> "LossConfig":
@@ -66,6 +71,10 @@ class LossConfig:
             edge_norm=cfg.TRAIN.opt_deform_LabelEdge_norm,
             deform_joint_loss=cfg.TRAIN.deform_joint_loss,
             focal_gamma=5.0,  # hard-coded at models/models.py:1059
+            edge_target_softmax=cfg.TRAIN.opt_deform_LabelEdge_softmax,
+            edge_zero_bound=(cfg.TRAIN.deform_zero_bound_factor if cfg.TRAIN.deform_zero_bound else 0),
+            edge_blur_radius=float(cfg.MODEL.gt_grad_gaussian_blur_r),
+            saliency_hw=tuple(cfg.TRAIN.saliency_input_size),
         )
 
 
@@ -86,9 +95,19 @@ def compute_losses(
     pred = out["pred"].astype(jnp.float32)
     bg = lcfg.num_class - 1
 
-    # edge target: area-downsampled label (models/models.py:725-730, 886-898)
     gh, gw = xs.shape[1], xs.shape[2]
-    xs_target = resize_area(y[..., None], (gh, gw))
+    if lcfg.edge_norm:
+        # default path: area-downsampled label, globally min-max normalized
+        # (models/models.py:725-730, 886-898)
+        xs_target = resize_area(y[..., None], (gh, gw))
+    else:
+        # PIL-style FIND_EDGES target (models/models.py:777-800)
+        from fovealseg_tpu.core.edges import edge_target_pil_style
+
+        xs_target = edge_target_pil_style(
+            y, lcfg.saliency_hw, (gh, gw), lcfg.edge_blur_radius,
+            softmax=lcfg.edge_target_softmax, zero_bound=lcfg.edge_zero_bound,
+        )
     if edge_scale is None:
         edge_scale = batch.get("edge_scale")
     scale = lcfg.edge_loss_scale if edge_scale is None else edge_scale
