@@ -58,6 +58,7 @@ class LossConfig:
     deform_joint_loss: bool = True
     focal_gamma: float = 5.0
     # non-default edge-target modes (PIL-style chain, core/edges.py)
+    entropy_reg_weight: float = 0.0  # TRAIN.entropy_regularisation(_weight)
     edge_target_softmax: bool = False  # TRAIN.opt_deform_LabelEdge_softmax
     edge_zero_bound: int = 0  # TRAIN.deform_zero_bound(_factor)
     edge_blur_radius: float = 1.0  # MODEL.gt_grad_gaussian_blur_r
@@ -71,6 +72,8 @@ class LossConfig:
             edge_norm=cfg.TRAIN.opt_deform_LabelEdge_norm,
             deform_joint_loss=cfg.TRAIN.deform_joint_loss,
             focal_gamma=5.0,  # hard-coded at models/models.py:1059
+            entropy_reg_weight=(cfg.TRAIN.entropy_regularisation_weight
+                                if cfg.TRAIN.entropy_regularisation else 0.0),
             edge_target_softmax=cfg.TRAIN.opt_deform_LabelEdge_softmax,
             edge_zero_bound=(cfg.TRAIN.deform_zero_bound_factor if cfg.TRAIN.deform_zero_bound else 0),
             edge_blur_radius=float(cfg.MODEL.gt_grad_gaussian_blur_r),
@@ -124,6 +127,13 @@ def compute_losses(
     loss = dice + focal
     if lcfg.deform_joint_loss:
         loss = loss + e_loss
+    if lcfg.entropy_reg_weight:
+        # saliency entropy regularizer (TRAIN.entropy_regularisation; the
+        # weight is applied to the NEGATIVE entropy so positive weights
+        # push toward uniform saliency)
+        p_flat = xs.reshape(xs.shape[0], -1)
+        ent = -jnp.sum(p_flat * jnp.log(p_flat + 1e-12), axis=-1)
+        loss = loss - lcfg.entropy_reg_weight * jnp.mean(ent)
 
     mets = {
         "loss": loss,
