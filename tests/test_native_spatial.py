@@ -88,3 +88,44 @@ def test_interp_plan_gradients_flow():
     g = jax.grad(f)(jnp.ones((5, 2)))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_fill_missing_tri_semantics(rng):
+    """'tri' fill: valid pixels untouched; holes are barycentric blends of
+    border-valid values (within their min/max inside the hull)."""
+    from fovealseg_tpu.native.interp2d import fill_missing_tri
+
+    h = w = 20
+    valid = rng.uniform(0, 1, (h, w)) > 0.6
+    valid[0, 0] = valid[0, -1] = valid[-1, 0] = valid[-1, -1] = True
+    vals = rng.standard_normal((h, w, 2)).astype(np.float64)
+    out = fill_missing_tri(vals, valid)
+    np.testing.assert_array_equal(out[valid], vals[valid])
+    assert np.isfinite(out).all()
+    lo, hi = vals[valid].min() - 1e-9, vals[valid].max() + 1e-9
+    hole_vals = out[~valid]
+    assert (hole_vals >= min(lo, 0)).all() and (hole_vals <= max(hi, 0)).all()
+
+
+def test_unwarp_prediction_tri_constant(rng):
+    """A constant prediction unwarps to the constant under 'tri' (interior)."""
+    from fovealseg_tpu.core.grid import GridSolver, inverse_grid, pad_saliency
+    from fovealseg_tpu.native.interp2d import unwarp_prediction_tri
+    import jax.numpy as jnp
+
+    solver = GridSolver(grid_h=12, grid_w=12, pad_x=4, pad_y=4, radius=4.0)
+    xs = rng.standard_normal((1, 12, 12)).astype(np.float32)
+    e = np.exp(xs.reshape(1, -1)); xs = (e / e.sum(-1, keepdims=True)).reshape(1, 12, 12, 1)
+    hm = pad_saliency(jnp.asarray(xs), 4, 4)
+    grid, _ = solver.create_grid(hm, (12, 12))
+    gi, valid = inverse_grid(grid, (36, 36))
+    pred = np.full((1, 12, 12, 3), 2.5, np.float32)
+    out = unwarp_prediction_tri(pred, gi, valid)
+    # values stay in [0, 2.5]: the reference zeroes the 4 canvas corners
+    # before triangulating (models/models.py:202-211), so corner-adjacent
+    # holes blend toward 0 — everywhere else the constant survives
+    assert (out >= -1e-5).all() and (out <= 2.5 + 1e-5).all()
+    hit = np.asarray(valid)[0]
+    inner_valid = out[0][hit & (np.arange(36)[:, None] > 2) & (np.arange(36)[:, None] < 33)]
+    frac_exact = np.isclose(inner_valid, 2.5, atol=1e-5).mean()
+    assert frac_exact > 0.6, frac_exact
