@@ -47,7 +47,9 @@ def save_checkpoint(ckpt_dir: str, epoch: int, state, also_last: bool = True) ->
 
 def load_checkpoint(ckpt_dir: str, epoch, abstract_state) -> dict:
     ocp = _ocp()
-    name = f"epoch_{epoch}" if not isinstance(epoch, str) else epoch
+    name = str(epoch)
+    if not name.startswith("epoch_"):
+        name = f"epoch_{name}"  # accepts 3, "3", "last", "epoch_last"
     path = os.path.join(os.path.abspath(ckpt_dir), name)
     template = {
         "params": abstract_state.params,

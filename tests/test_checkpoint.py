@@ -1,0 +1,59 @@
+"""Orbax checkpoint save/restore round-trip + torch import shim mechanics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fovealseg_tpu.configs import get_default_cfg
+from fovealseg_tpu.data.synthetic import make_batch
+from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+from fovealseg_tpu.train import checkpoint as ckpt
+from fovealseg_tpu.train.optim import create_optimizer
+from fovealseg_tpu.train.step import LossConfig, init_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = get_default_cfg()
+    cfg.DATASET.num_class = 51
+    cfg.TRAIN.task_input_size = (16, 16)
+    cfg.TRAIN.saliency_input_size = (16, 16)
+    cfg.TRAIN.optim = "adam"
+    cfg.TRAIN.deform_joint_loss = True
+    cfg.MODEL.gaussian_radius = 5
+    cfg.MODEL.arch_encoder = "hrnetv2_nodownsp_tiny"
+    cfg.MODEL.arch_decoder = "c1"
+    cfg.MODEL.fc_dim = 960
+    cfg.DATASET.segm_downsampling_rate = 1
+    dc = DeformConfig.from_cfg(cfg)
+    module = DeformSegmentation(config=dc)
+    tx = create_optimizer(cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(np.random.default_rng(0), 2, 64).items()}
+    state = init_state(module, tx, jax.random.PRNGKey(0), batch)
+    return cfg, module, tx, batch, state
+
+
+def test_checkpoint_roundtrip(tiny, tmp_path):
+    cfg, module, tx, batch, state = tiny
+    step = jax.jit(make_train_step(module, tx, LossConfig.from_cfg(cfg)))
+    state2, _ = step(state, batch, jax.random.PRNGKey(1))
+    ckpt.save_checkpoint(str(tmp_path), 3, jax.device_get(state2))
+    restored = ckpt.load_checkpoint(str(tmp_path), 3, state2)
+    for a, b in zip(jax.tree.leaves(restored["params"]), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored["step"]) == int(state2.step)
+    # 'last' mirror exists (epoch_last semantics)
+    restored_last = ckpt.load_checkpoint(str(tmp_path), "last", state2)
+    assert int(restored_last["step"]) == int(state2.step)
+
+
+def test_torch_import_unknown_keys_skipped(tiny):
+    _, module, tx, batch, state = tiny
+    from fovealseg_tpu.train.checkpoint import import_torch_state_dict
+
+    sd = {"saliency": {"totally.bogus.weight": np.zeros((3, 3), np.float32)}}
+    p2, s2 = import_torch_state_dict(sd, dict(state.params), dict(state.batch_stats))
+    # strict=False semantics: unknown keys skipped, tree unchanged
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
