@@ -38,7 +38,7 @@ def main(argv=None):
     from fovealseg_tpu.core import metrics as M
     from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
     from fovealseg_tpu.train.optim import create_optimizer
-    from fovealseg_tpu.train.step import LossConfig, init_state
+    from fovealseg_tpu.train.step import init_state
 
     cfg = get_default_cfg()
     cfg.merge_from_file(args.cfg)

@@ -11,9 +11,6 @@ bucket (SURVEY.md §7 "dynamic-input re-init becomes shape-bucketed jit").
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
-
-import jax
 
 from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
 

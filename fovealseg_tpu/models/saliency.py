@@ -16,7 +16,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from fovealseg_tpu.models.layers import batch_norm, conv2d, linear, relu6
+from fovealseg_tpu.models.layers import batch_norm, conv2d, relu6
 
 
 class FovSimModule(nn.Module):

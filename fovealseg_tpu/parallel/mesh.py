@@ -15,11 +15,9 @@ reference, whose DDP ranks do NOT sync BN; flag ``TPU.sync_bn``).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

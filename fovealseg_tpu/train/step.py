@@ -12,7 +12,6 @@ the data axis (the TPU-native replacement for DDP's NCCL allreduce).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax
