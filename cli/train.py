@@ -108,6 +108,9 @@ def main(argv=None):
 
     sample = next(iter(val_loader()))
     state = init_state(init_module, tx, jax.random.PRNGKey(cfg.TRAIN.seed), sample)
+    from fovealseg_tpu.utils.summary import summarize
+
+    log.info("model summary:\n%s", summarize(state.params, state.batch_stats))
     state = replicate_state(state, mesh)
 
     # resume (TRAIN.start_epoch, train_deform_semantic.py:649-658)
