@@ -97,6 +97,9 @@ def main(argv=None):
     inter_sum = None
     union_sum = None
     acc_m, n = 0.0, 0
+    dices: list = []
+    hd95s: list = []
+    trimaps: list = []
     for batch in loader():
         x = jnp.asarray(batch["img_data"])
         f = jnp.asarray(batch["focus_point"])
@@ -112,6 +115,20 @@ def main(argv=None):
         union_sum = union if union_sum is None else union_sum + union
         acc, _ = M.accuracy(jnp.asarray(pred), jnp.asarray(gt))
         acc_m += float(acc)
+        # optional VAL metrics (eval.py VAL.dice / VAL.hd95 / VAL.trimap)
+        for b in range(pred.shape[0]):
+            pred_fg = pred[b] != bg
+            gt_fg = gt[b] != bg
+            if cfg.VAL.dice:
+                dices.append(M.binary_dice(pred_fg, gt_fg))
+            if cfg.VAL.hd95 and gt_fg.any():
+                h = M.hd95(pred_fg, gt_fg)
+                if h == h:
+                    hd95s.append(h)
+            if cfg.VAL.trimap:
+                t = M.trimap_accuracy(pred[b], gt[b], cfg.VAL.trimap_dia_factor)
+                if t == t:
+                    trimaps.append(t)
         n += 1
 
     iou = np.asarray(inter_sum) / np.maximum(np.asarray(union_sum), 1e-10)
@@ -122,6 +139,12 @@ def main(argv=None):
         "num_batches": n,
         "per_class_iou": {int(i): float(v) for i, v in enumerate(iou) if present[i]},
     }
+    if dices:
+        result["dice"] = float(np.mean(dices))
+    if hd95s:
+        result["hd95"] = float(np.mean(hd95s))
+    if trimaps:
+        result["trimap_acc"] = float(np.mean(trimaps))
     log.info("eval: mean_iou=%.4f acc=%.4f", result["mean_iou"], result["pixel_acc"])
     print(json.dumps({k: v for k, v in result.items() if k != "per_class_iou"}))
     return result
