@@ -1,0 +1,76 @@
+"""Component-level timing breakdown of the flagship warped-domain forward.
+
+Times (fori_loop-chained, see sweep.py) each stage of the FSNet forward in
+isolation on the real chip: saliency net, grid solver, forward warp, encoder,
+decoder — to locate the MFU gap (VERDICT r1: ~65 TF/s vs 278 TF/s roofline).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fovealseg")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from benchmarks.sweep import flagship, time_chained
+from fovealseg_tpu.models.deform_module import DeformSegmentation
+
+BATCH = int(os.environ.get("BREAKDOWN_BATCH", "8"))
+
+
+def main():
+    module = flagship()
+    x = jnp.zeros((BATCH, 640, 640, 3), jnp.float32)
+    f = jnp.full((BATCH, 2), 0.5, jnp.float32)
+    shapes = jax.eval_shape(module.init, {"params": jax.random.PRNGKey(0)}, x, f)
+    variables = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+
+    # stage inputs (computed once, correct shapes/dtypes)
+    def upto_warp(v, x, f):
+        xs = module.apply(v, x, f, method=DeformSegmentation.saliency)
+        grid, _ = module.apply(v, xs, method=DeformSegmentation.grids)
+        from fovealseg_tpu.core.warp import grid_sample
+
+        return grid_sample(x, grid).astype(module.dtype)
+
+    x_sampled = jax.jit(upto_warp)(variables, x, f)
+    feat0 = jax.jit(
+        lambda v, xs: module.apply(v, xs, method=lambda m, a: m.encoder(a, train=False))[0]
+    )(variables, x_sampled)
+
+    stages = {
+        "full_forward": lambda v, a, b: module.apply(v, a, b, train=False)["pred"],
+        "saliency": lambda v, a, b: module.apply(v, a, b, method=DeformSegmentation.saliency),
+        "saliency_grid_warp": upto_warp,
+    }
+    results = {}
+    for name, fn in stages.items():
+        dt = time_chained(fn, variables, x, f, iters=10)
+        results[name] = dt * 1e3
+        print(f"{name}: {dt*1e3:.2f} ms/batch{BATCH}", flush=True)
+
+    # encoder / decoder take different inputs
+    def enc_fn(v, a, b):
+        return module.apply(v, a, method=lambda m, t: m.encoder(t, train=False))[0]
+
+    def dec_fn(v, a, b):
+        return module.apply(v, a, method=lambda m, t: m.decoder([t], train=False))
+
+    dt = time_chained(enc_fn, variables, x_sampled, f, iters=10)
+    results["encoder"] = dt * 1e3
+    print(f"encoder: {dt*1e3:.2f} ms/batch{BATCH}", flush=True)
+    dt = time_chained(dec_fn, variables, feat0, f, iters=10)
+    results["decoder"] = dt * 1e3
+    print(f"decoder: {dt*1e3:.2f} ms/batch{BATCH}", flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ def main(argv=None):
     parser.add_argument("--torch-ckpt", default=None, help="dir with {kind}_epoch_{N}.pth files")
     parser.add_argument("--torch-epoch", default="last")
     parser.add_argument("--num-batches", type=int, default=16)
+    parser.add_argument("--canvas", type=int, default=640, help="synthetic canvas size")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
 
@@ -48,6 +49,15 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("fovealseg.eval")
 
+    if cfg.VAL.ensemble or cfg.VAL.approx_pred_Fxlr_by_ensemble:
+        # near-dead reference option (defaults.py:217-220, marked "NEED
+        # TEST" upstream) — reject loudly rather than silently ignore
+        raise NotImplementedError(
+            "VAL.ensemble / VAL.approx_pred_Fxlr_by_ensemble are not "
+            "implemented (untested fixed-patch ensemble baseline in the "
+            "reference); unset them or use the standard eval path"
+        )
+
     dc = DeformConfig.from_cfg(cfg)
     module = DeformSegmentation(config=dc)
     tx = create_optimizer(cfg)
@@ -60,7 +70,7 @@ def main(argv=None):
 
         def loader():
             for _ in range(args.num_batches):
-                yield make_batch(rng_np, cfg.VAL.batch_size)
+                yield make_batch(rng_np, cfg.VAL.batch_size, canvas=args.canvas)
     else:
         from fovealseg_tpu.data.lvis import DatasetLVIS
 
@@ -87,16 +97,21 @@ def main(argv=None):
         restored = ckpt.load_checkpoint(cfg.DIR, cfg.TRAIN.start_epoch, state)
         params, stats = restored["params"], restored["batch_stats"]
 
+    rev_y = bool(cfg.VAL.y_sampled_reverse)
+    rev_x = bool(cfg.VAL.x_sampled_reverse)
+
     @jax.jit
-    def infer(params, stats, x, f):
+    def infer(params, stats, x, f, y):
         return module.apply(
             {"params": params, "batch_stats": stats}, x, f,
+            y=y, y_sampled_reverse=rev_y, x_sampled_reverse=rev_x,
             method=DeformSegmentation.infer,
         )
 
     inter_sum = None
     union_sum = None
     acc_m, n = 0.0, 0
+    yrev_inter = yrev_union = None  # intrinsic-upsampling-error probe
     dices: list = []
     hd95s: list = []
     trimaps: list = []
@@ -105,9 +120,19 @@ def main(argv=None):
         f = jnp.asarray(batch["focus_point"])
         y = np.asarray(batch["seg_label"])
         cls = np.asarray(batch["cls_label"]).reshape(-1)
-        out = infer(params, stats, x, f)
-        pred = np.argmax(np.asarray(out["pred_sampled"]), axis=-1)
         gt = (y * cls[:, None, None] + (1 - y) * bg).astype(np.int64)
+        out = infer(params, stats, x, f, jnp.asarray(gt))
+        pred = np.argmax(np.asarray(out["pred_sampled"]), axis=-1)
+        if rev_y:
+            # VAL.y_sampled_reverse: how much IoU the warp round-trip alone
+            # costs (reference eval.py:178-269 'y_sampled_reverse' probe) —
+            # compares gt against gt warped down and inverse-warped back up
+            yr = np.asarray(out["y_sampled_reverse"]).astype(np.int64)
+            i2, u2 = M.intersection_and_union(
+                jnp.asarray(yr), jnp.asarray(gt), cfg.DATASET.num_class
+            )
+            yrev_inter = i2 if yrev_inter is None else yrev_inter + i2
+            yrev_union = u2 if yrev_union is None else yrev_union + u2
         inter, union = M.intersection_and_union(
             jnp.asarray(pred), jnp.asarray(gt), cfg.DATASET.num_class
         )
@@ -145,6 +170,10 @@ def main(argv=None):
         result["hd95"] = float(np.mean(hd95s))
     if trimaps:
         result["trimap_acc"] = float(np.mean(trimaps))
+    if rev_y and yrev_union is not None:
+        yiou = np.asarray(yrev_inter) / np.maximum(np.asarray(yrev_union), 1e-10)
+        ypresent = np.asarray(yrev_union) > 0
+        result["y_reverse_iou"] = float(yiou[ypresent].mean())
     log.info("eval: mean_iou=%.4f acc=%.4f", result["mean_iou"], result["pixel_acc"])
     print(json.dumps({k: v for k, v in result.items() if k != "per_class_iou"}))
     return result

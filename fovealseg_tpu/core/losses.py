@@ -69,14 +69,16 @@ def edge_loss(
     normalize: bool = True,
     eps: float = 1e-12,
 ) -> jnp.ndarray:
-    """Deformation edge loss (models/models.py:886-898):
+    """Deformation edge loss (models/models.py:886-898). The
+    TRAIN.opt_deform_LabelEdge_norm=True branch is
     ``0.05 * MSE(norm(xs), norm(xs_target_area)) * TRAIN.edge_loss_scale``
-    where both tensors are globally min-max normalized
-    (TRAIN.opt_deform_LabelEdge_norm=True path)."""
+    with both tensors globally min-max normalized; the non-norm branch is a
+    plain ``MSE(xs, xs_target) * edge_loss_scale`` (no 0.05 factor)."""
     if normalize:
         saliency = minmax_normalize(saliency, eps)
         target = minmax_normalize(target, eps)
-    return 0.05 * jnp.mean((saliency - target) ** 2) * edge_loss_scale
+    factor = 0.05 if normalize else 1.0
+    return factor * jnp.mean((saliency - target) ** 2) * edge_loss_scale
 
 
 # --------------------------------------------------------------------------

@@ -185,6 +185,31 @@ def unwarp_prediction_fast(
     return out.reshape(b, hs, ws, c)
 
 
+def unwarp_labels_fast(
+    labels: jnp.ndarray,
+    task_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_iters: int | None = None,
+) -> jnp.ndarray:
+    """Nearest label round-trip: each full-res pixel takes the label of the
+    task pixel whose forward warp landed on it (holes adopt their nearest
+    valid pixel's task index). The reference samples labels through grid_inv
+    with ``grid_sample(mode='nearest')`` (models_instance.py:914); the inverse
+    coords are exactly half-integer there, so torch's round-half-to-even picks
+    a parity-dependent neighbor — here the integer task index is gathered
+    directly (deterministic, no 4-tap label averaging).
+
+    labels: [B, th, tw, C] (categorical values); task_idx/valid from
+    core.grid.inverse_grid_index.
+    """
+    b, th, tw, c = labels.shape
+    hs, ws = task_idx.shape[1], task_idx.shape[2]
+    tidx = _nearest_payload(valid, task_idx, num_iters)
+    flat = labels.reshape(b, th * tw, c)
+    out = jnp.take_along_axis(flat, tidx.reshape(b, hs * ws, 1), axis=1)
+    return out.reshape(b, hs, ws, c)
+
+
 def fill_grid_nearest(
     grid_inv: jnp.ndarray, valid: jnp.ndarray, num_iters: int | None = None
 ) -> jnp.ndarray:

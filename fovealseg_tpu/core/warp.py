@@ -10,8 +10,10 @@ inverse warp at models/models_instance.py:886). Semantics reproduced here:
 * modes: ``bilinear`` (4-tap) and ``nearest``.
 
 Layout is NHWC (TPU-native). The gather is expressed as a flat
-``take_along_axis`` over H*W so XLA lowers it to an efficient dynamic-gather;
-a fused Pallas variant lives in ``fovealseg_tpu.ops.pallas_warp``.
+``take_along_axis`` over H*W so XLA lowers it to an efficient dynamic-gather
+(measured ~7 ns/row on the target chip regardless of row width, so a hand
+kernel has no headroom here — the Pallas budget went to the JFA hole fill,
+``fovealseg_tpu.ops.pallas_jfa``).
 """
 
 from __future__ import annotations

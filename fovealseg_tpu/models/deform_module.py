@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from fovealseg_tpu.core.gaze import focus_distance_map
 from fovealseg_tpu.core.grid import GridSolver, inverse_grid, inverse_grid_index, pad_saliency
 from fovealseg_tpu.core.interpolate import resize_bilinear
-from fovealseg_tpu.core.unwarp import unwarp_prediction, unwarp_prediction_fast
+from fovealseg_tpu.core.unwarp import (
+    unwarp_labels_fast,
+    unwarp_prediction,
+    unwarp_prediction_fast,
+)
 from fovealseg_tpu.core.warp import grid_sample
 
 
@@ -134,17 +138,23 @@ class DeformSegmentation(nn.Module):
             xs = jnp.full_like(xs, 1.0 / (solver.grid_h * solver.grid_w))
         return xs
 
-    def grids(self, xs, label_hw=None):
-        """Saliency -> (grid, grid_y) at task/label resolution."""
+    def grids(self, xs, task_hw=None, label_hw=None):
+        """Saliency -> (grid, grid_y) at task/label resolution.
+
+        ``task_hw`` overrides the grid resolution (the reference upsamples the
+        grid itself to input_size_net_infer at inference,
+        models/models.py create_grid / models_instance.py:843-845)."""
         c = self.config
         solver = c.solver()
         xs_hm = pad_saliency(xs, solver.pad_x, solver.pad_y, c.pad_mode)
+        if task_hw is None:
+            task_hw = c.task_hw
         if label_hw is None:
             label_hw = (
-                c.task_hw[0] // c.segm_downsampling_rate,
-                c.task_hw[1] // c.segm_downsampling_rate,
+                task_hw[0] // c.segm_downsampling_rate,
+                task_hw[1] // c.segm_downsampling_rate,
             )
-        return solver.create_grid(xs_hm, c.task_hw, label_hw)
+        return solver.create_grid(xs_hm, task_hw, label_hw)
 
     def __call__(self, x, focus_point, train: bool = False, xs_override=None):
         """Training/warped-domain forward.
@@ -181,9 +191,13 @@ class DeformSegmentation(nn.Module):
         c = self.config
         seg_hw = seg_hw or (x.shape[1], x.shape[2])
         xs = self.saliency(x, focus_point, train=False)
-        grid, grid_y = self.grids(xs, label_hw=c.task_hw_infer)
+        # the grid itself is built at the inference task size so grid, pred,
+        # and the inverse indices all share one resolution (the reference
+        # upsamples the grid to input_size_net_infer, models/models.py
+        # create_grid; a post-hoc resize of x_sampled would leave the inverse
+        # indices normalized by the wrong th/tw)
+        grid, grid_y = self.grids(xs, task_hw=c.task_hw_infer, label_hw=c.task_hw_infer)
         x_sampled = grid_sample(x, grid).astype(self.dtype)
-        x_sampled = resize_bilinear(x_sampled, c.task_hw_infer)
         feats = self.encoder(x_sampled, train=False)
         pred = self.decoder(feats, train=False)
         task_idx, valid = inverse_grid_index(grid, seg_hw)
@@ -210,12 +224,13 @@ class DeformSegmentation(nn.Module):
             pred_sampled=pred_sampled,
         )
         if y_sampled_reverse and y is not None:
-            # intrinsic-upsampling-error probe: label down then back up
+            # intrinsic-upsampling-error probe: label down then back up.
+            # Labels are categorical — round-trip them with a nearest gather
+            # (reference: grid_sample mode='nearest', models_instance.py:914),
+            # never a bilinear average of class ids.
             y_s = grid_sample(y.astype(jnp.float32)[..., None], grid_y, mode="nearest")
             out["y_sampled"] = y_s[..., 0]
-            out["y_sampled_reverse"] = unwarp_prediction(
-                y_s, grid_inv, valid, interp=c.rev_deform_interp
-            )[..., 0]
+            out["y_sampled_reverse"] = unwarp_labels_fast(y_s, task_idx, valid)[..., 0]
         if x_sampled_reverse:
             out["x_sampled_reverse"] = unwarp_prediction(
                 x_sampled.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp

@@ -28,7 +28,13 @@ def _ocp():
     return ocp
 
 
-def save_checkpoint(ckpt_dir: str, epoch: int, state, also_last: bool = True) -> None:
+def save_checkpoint(
+    ckpt_dir: str, epoch: int, state, also_last: bool = True, only_last: bool = False
+) -> None:
+    """Persist a checkpoint. ``only_last=True`` writes just the ``epoch_last``
+    copy — the reference's off-cadence behavior (between
+    TRAIN.checkpoint_per_epoch epochs only the ``*_last.pth`` files are
+    refreshed, train_deform_semantic.py:166-208)."""
     ocp = _ocp()
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -39,9 +45,9 @@ def save_checkpoint(ckpt_dir: str, epoch: int, state, also_last: bool = True) ->
         "step": state.step,
     }
     with ocp.StandardCheckpointer() as ck:
-        path = os.path.join(ckpt_dir, f"epoch_{epoch}")
-        ck.save(path, payload, force=True)
-        if also_last:
+        if not only_last:
+            ck.save(os.path.join(ckpt_dir, f"epoch_{epoch}"), payload, force=True)
+        if also_last or only_last:
             ck.save(os.path.join(ckpt_dir, "epoch_last"), payload, force=True)
 
 

@@ -153,7 +153,10 @@ def fit(
             ):
                 ckpt.save_checkpoint(ckpt_dir, epoch, jax.device_get(state))
             elif cfg.TRAIN.save_checkpoint:
-                ckpt.save_checkpoint(ckpt_dir, epoch, jax.device_get(state), also_last=True)
+                # off-cadence: refresh only epoch_last (reference keeps only
+                # the *_last copies between cadence epochs,
+                # train_deform_semantic.py:166-208)
+                ckpt.save_checkpoint(ckpt_dir, epoch, jax.device_get(state), only_last=True)
         if epoch % cfg.TRAIN.eval_per_epoch == 0 or cfg.TRAIN.skip_train_for_eval:
             mets = evaluate_1epoch(eval_step, state, val_loader())
             log.info("epoch %d eval: %s", epoch, json.dumps(mets))

@@ -47,20 +47,22 @@ def make_stage_schedules(cfg) -> LRSchedules:
         cfg.TRAIN.fix_seg_end_epoch,
     )
 
-    def _idx_and_epoch(step):
+    def _idx_epoch_n(step):
         # the driver calls train() with 1-based epochs (main loop at
-        # train_deform_semantic.py:476-482); cur_iter = i + (epoch-1)*iters
+        # train_deform_semantic.py:476-482); cur_iter = i + (epoch-1)*iters.
+        # With scale_by_iter the reference decays per-iteration but also
+        # scales N_pretraining by epoch_iters (train_deform_semantic.py:321-323).
         epoch = step // epoch_iters + 1
         if scale_by_iter:
-            return step, epoch
-        return epoch, epoch
+            return step, epoch, n_pre * epoch_iters
+        return epoch, epoch, n_pre
 
     def lr_class(step):
-        idx, epoch = _idx_and_epoch(step)
+        idx, epoch, n = _idx_epoch_n(step)
         if pretrain_bol:
-            lr = base_lr * jnp.power(0.1, idx // n_pre)
+            lr = base_lr * jnp.power(0.1, idx // n)
         else:
-            shifted = jnp.where(idx >= n_pre, (idx - n_pre) // n_pre, idx // n_pre)
+            shifted = jnp.where(idx >= n, (idx - n) // n, idx // n)
             lr = base_lr * jnp.power(0.1, shifted)
         on, s, e = fix_seg
         if on:
@@ -68,8 +70,8 @@ def make_stage_schedules(cfg) -> LRSchedules:
         return lr
 
     def lr_zoom(step):
-        idx, epoch = _idx_and_epoch(step)
-        lr = base_lr * jnp.power(0.1, idx // n_pre)
+        idx, epoch, n = _idx_epoch_n(step)
+        lr = base_lr * jnp.power(0.1, idx // n)
         on, s, e = fix_deform
         if on:
             lr = jnp.where((epoch >= s) & (epoch <= e), 0.0, lr)
@@ -136,12 +138,26 @@ def edge_loss_scale_at(cfg, cur_iter: int, epoch: int) -> float:
     return cfg.TRAIN.edge_loss_scale
 
 
-def poly_running_lrs(cfg, cur_iter: int) -> dict:
+def poly_running_lrs(cfg, cur_iter: int, lr_scale: float = 1.0) -> dict:
     """The running_lr_* values the reference logs (train_deform_semantic.py
-    313-317) — poly decay of the configured base LRs; display-only."""
+    303-317) — poly decay of the configured base LRs; feeds only the history
+    CSV (lines 143,151), never the optimizers.
+
+    ``TRAIN.fov_scale_lr`` (defaults.py:115-118): when non-empty, the decayed
+    scale is multiplied by ``lr_scale ** TRAIN.fov_scale_pow`` (a
+    patch-size-derived factor); ``TRAIN.fov_scale_seg_only`` exempts the
+    foveater's logged LR. The shipped reference driver only ever calls this
+    with lr_scale=1 (its single call site, train_deform_semantic.py:85,
+    passes no scale), so the default is observationally a no-op there too.
+    """
     scale = (1.0 - float(cur_iter) / max(cfg.TRAIN.max_iters, 1)) ** cfg.TRAIN.lr_pow
+    if cfg.TRAIN.fov_scale_lr != "":
+        scale *= lr_scale ** cfg.TRAIN.fov_scale_pow
+    fov_scale = scale
+    if cfg.TRAIN.fov_scale_seg_only and cfg.TRAIN.fov_scale_lr != "":
+        fov_scale = scale / (lr_scale ** cfg.TRAIN.fov_scale_pow)
     return {
         "running_lr_encoder": cfg.TRAIN.lr_encoder * scale,
         "running_lr_decoder": cfg.TRAIN.lr_decoder * scale,
-        "running_lr_foveater": cfg.TRAIN.lr_foveater * scale,
+        "running_lr_foveater": cfg.TRAIN.lr_foveater * fov_scale,
     }

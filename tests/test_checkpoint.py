@@ -57,3 +57,19 @@ def test_torch_import_unknown_keys_skipped(tiny):
     # strict=False semantics: unknown keys skipped, tree unchanged
     for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_only_last_writes_no_numbered_dir(tiny, tmp_path):
+    # off-cadence epochs must refresh only epoch_last (reference keeps only
+    # the *_last.pth copies between cadence epochs,
+    # train_deform_semantic.py:166-208) — no per-epoch disk growth
+    cfg, module, tx, batch, state = tiny
+    d = str(tmp_path / "cadence")
+    ckpt.save_checkpoint(d, 7, jax.device_get(state), only_last=True)
+    import os
+
+    entries = sorted(os.listdir(d))
+    assert "epoch_last" in entries
+    assert not any(e.startswith("epoch_7") for e in entries), entries
+    restored = ckpt.load_checkpoint(d, "last", state)
+    assert int(restored["step"]) == int(state.step)

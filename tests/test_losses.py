@@ -88,3 +88,15 @@ def test_metrics_pixel_acc_family(rng):
     ref = float(np.mean(accs))
     ours = float(M.pixel_acc(jnp.asarray(logits), jnp.asarray(labels)))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_edge_loss_non_norm_has_no_005_factor(rng):
+    # reference: the non-norm branch is plain MSE * edge_loss_scale
+    # (models/models.py:896-898) — the 0.05 belongs to the norm branch only
+    xs = rng.uniform(0, 1, (2, 8, 8, 1)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (2, 8, 8, 1)).astype(np.float32)
+    ours = float(
+        L.edge_loss(jnp.asarray(xs), jnp.asarray(tgt), edge_loss_scale=100.0, normalize=False)
+    )
+    ref = np.mean((xs - tgt) ** 2) * 100.0
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)

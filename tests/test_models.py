@@ -78,3 +78,62 @@ def test_deform_infer_shapes(tiny_deform):
     assert out["pred_sampled"].shape == (1, 64, 64, 51)
     assert not np.isnan(np.asarray(out["pred_sampled"])).any()
     assert out["grid_inv"].shape == (1, 64, 64, 2)
+
+
+def test_deform_infer_eval_size_alignment():
+    """TRAIN.task_input_size_eval != task_input_size: the grid itself is
+    built at the inference size, so grid, pred, and inverse indices share one
+    resolution (ADVICE r1; reference upsamples the grid to
+    input_size_net_infer in models/models.py create_grid)."""
+    cfg = DeformConfig(
+        task_hw=(16, 16),
+        task_hw_infer=(32, 32),
+        saliency_hw=(16, 16),
+        gaussian_radius=5,
+        arch_encoder="hrnetv2_nodownsp_tiny",
+    )
+    module = DeformSegmentation(config=cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    f = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x, f)
+    out = module.apply(params, x, f, method=DeformSegmentation.infer)
+    assert out["grid"].shape == (1, 32, 32, 2)
+    assert out["x_sampled"].shape == (1, 32, 32, 3)
+    assert out["pred"].shape == (1, 32, 32, 51)
+    assert out["pred_sampled"].shape == (1, 64, 64, 51)
+    assert not np.isnan(np.asarray(out["pred_sampled"])).any()
+    # inverse indices address the 32x32 grid, not the 16x16 train grid
+    hit = np.asarray(out["grid_inv"])[~np.asarray(out["unfilled_mask"])]
+    assert np.isfinite(hit).all()
+
+
+def test_infer_y_sampled_reverse_is_integer_labels():
+    """Label round trips must stay categorical: no bilinear class-id blending
+    (reference uses grid_sample mode='nearest', models_instance.py:914)."""
+    cfg = DeformConfig(
+        task_hw=(16, 16),
+        task_hw_infer=(16, 16),
+        saliency_hw=(16, 16),
+        gaussian_radius=5,
+        arch_encoder="hrnetv2_nodownsp_tiny",
+    )
+    module = DeformSegmentation(config=cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    f = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    y = np.full((1, 64, 64), 50, np.int32)
+    y[0, 20:40, 20:40] = 3  # two classes with a big id gap: any blending
+    y[0, 10:12, 50:60] = 17  # would manufacture values outside {3, 17, 50}
+    params = module.init(jax.random.PRNGKey(0), x, f)
+    out = module.apply(
+        params, x, f, y=jnp.asarray(y), y_sampled_reverse=True,
+        method=DeformSegmentation.infer,
+    )
+    got = set(np.unique(np.asarray(out["y_sampled_reverse"])).tolist())
+    # the warped label may contain 0 at the clamped-border pixels (torch
+    # zero-padding semantics), but the reverse trip must never blend ids —
+    # every output value must be an actual warped-label value
+    allowed = set(np.unique(np.asarray(out["y_sampled"])).tolist())
+    assert got <= allowed, (got, allowed)
+    assert got <= {0.0, 3.0, 17.0, 50.0}, got

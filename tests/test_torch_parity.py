@@ -153,3 +153,162 @@ def test_hrnet_key_coverage_and_forward():
     with torch.no_grad():
         ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2))[0].permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# DeepLab oracle (torchvision is not installed in this image, so the oracle
+# below is a minimal torch implementation of torchvision's documented
+# deeplabv3_resnet101 — state_dict-key-compatible — with the CustomDeepLab
+# classifier rewire from /root/reference/models/deeplab.py:11-49. It
+# cross-checks the torch-vs-JAX numerics our encoder rests on: dilated-conv
+# padding, OS8 stride replacement, ASPP image pooling, eval-BN, and the
+# align_corners=False bilinear upsample.)
+# ---------------------------------------------------------------------------
+
+
+class _TVBottleneckT(torch.nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None, dilation=1):
+        super().__init__()
+        N = torch.nn
+        self.conv1 = N.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = N.BatchNorm2d(planes)
+        self.conv2 = N.Conv2d(planes, planes, 3, stride=stride, padding=dilation,
+                              dilation=dilation, bias=False)
+        self.bn2 = N.BatchNorm2d(planes)
+        self.conv3 = N.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = N.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        o = torch.relu(self.bn1(self.conv1(x)))
+        o = torch.relu(self.bn2(self.conv2(o)))
+        o = self.bn3(self.conv3(o))
+        return torch.relu(o + r)
+
+
+class _ResNetOS8T(torch.nn.Module):
+    """torchvision ResNet w/ replace_stride_with_dilation=[False, True, True]."""
+
+    def __init__(self, layers):
+        super().__init__()
+        N = torch.nn
+        self.inplanes, self.dilation = 64, 1
+        self.conv1 = N.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = N.BatchNorm2d(64)
+        self.maxpool = N.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make(64, layers[0], 1, False)
+        self.layer2 = self._make(128, layers[1], 2, False)
+        self.layer3 = self._make(256, layers[2], 2, True)
+        self.layer4 = self._make(512, layers[3], 2, True)
+
+    def _make(self, planes, blocks, stride, dilate):
+        N = torch.nn
+        prev_dilation = self.dilation
+        if dilate:
+            self.dilation *= stride
+            stride = 1
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = N.Sequential(
+                N.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+                N.BatchNorm2d(planes * 4),
+            )
+        out = [_TVBottleneckT(self.inplanes, planes, stride, downsample, prev_dilation)]
+        self.inplanes = planes * 4
+        for _ in range(1, blocks):
+            out.append(_TVBottleneckT(self.inplanes, planes, dilation=self.dilation))
+        return N.Sequential(*out)
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+
+class _ASPPT(torch.nn.Module):
+    def __init__(self, in_ch=2048, out_ch=256, rates=(12, 24, 36)):
+        super().__init__()
+        N = torch.nn
+        mods = [N.Sequential(N.Conv2d(in_ch, out_ch, 1, bias=False), N.BatchNorm2d(out_ch), N.ReLU())]
+        for r in rates:
+            mods.append(N.Sequential(
+                N.Conv2d(in_ch, out_ch, 3, padding=r, dilation=r, bias=False),
+                N.BatchNorm2d(out_ch), N.ReLU()))
+        mods.append(N.Sequential(N.AdaptiveAvgPool2d(1),
+                                 N.Conv2d(in_ch, out_ch, 1, bias=False),
+                                 N.BatchNorm2d(out_ch), N.ReLU()))
+        self.convs = N.ModuleList(mods)
+        self.project = N.Sequential(N.Conv2d(5 * out_ch, out_ch, 1, bias=False),
+                                    N.BatchNorm2d(out_ch), N.ReLU(), N.Dropout(0.5))
+
+    def forward(self, x):
+        res = []
+        for i, conv in enumerate(self.convs):
+            y = conv(x)
+            if i == len(self.convs) - 1:
+                y = torch.nn.functional.interpolate(
+                    y, size=x.shape[-2:], mode="bilinear", align_corners=False)
+            res.append(y)
+        return self.project(torch.cat(res, 1))
+
+
+class _CustomDeepLabT(torch.nn.Module):
+    """CustomDeepLab twin: backbone + DeepLabHead w/ the 256->512->960 rewire."""
+
+    def __init__(self, layers=(3, 4, 23, 3), num_classes=960):
+        super().__init__()
+        N = torch.nn
+        inner = N.Module()
+        inner.backbone = _ResNetOS8T(layers)
+        inner.classifier = N.Sequential(
+            _ASPPT(), N.Conv2d(256, 512, 1), N.BatchNorm2d(512), N.ReLU(),
+            N.Conv2d(512, num_classes, 1))
+        self.deeplab = inner
+
+    def forward(self, x):
+        y = self.deeplab.classifier(self.deeplab.backbone(x))
+        return torch.nn.functional.interpolate(
+            y, size=x.shape[-2:], mode="bilinear", align_corners=False)
+
+
+def _randomize_bn(tm, rng):
+    """Give BN layers non-trivial affine + running stats so parity is real."""
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.weight.data = torch.from_numpy(rng.uniform(0.5, 1.5, m.weight.shape).astype(np.float32))
+            m.bias.data = torch.from_numpy(rng.uniform(-0.2, 0.2, m.bias.shape).astype(np.float32))
+            m.running_mean.data = torch.from_numpy(rng.uniform(-0.1, 0.1, m.running_mean.shape).astype(np.float32))
+            m.running_var.data = torch.from_numpy(rng.uniform(0.8, 1.2, m.running_var.shape).astype(np.float32))
+
+
+@pytest.mark.slow
+def test_deeplab_key_coverage_and_forward():
+    from fovealseg_tpu.models.deeplab import DeepLabEncoder
+
+    layers = (1, 1, 1, 1)  # structurally identical reduced depth
+    tm = _CustomDeepLabT(layers=layers).eval()
+    _randomize_bn(tm, np.random.default_rng(7))
+    fm = DeepLabEncoder(layers=layers)
+    x = np.random.default_rng(5).standard_normal((1, 33, 33, 3)).astype(np.float32) * 0.5
+    hit, missing = _coverage(fm, (jnp.asarray(x),), tm)
+    assert not missing, missing[:10]
+    variables = _import_into(fm, (jnp.asarray(x),), "encoder", tm)
+    (ours,) = fm.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_deeplab_full_depth_key_coverage():
+    from fovealseg_tpu.models.deeplab import DeepLabEncoder
+
+    tm = _CustomDeepLabT().eval()  # full ResNet-101 (3, 4, 23, 3)
+    fm = DeepLabEncoder()
+    x = np.random.default_rng(6).standard_normal((1, 16, 16, 3)).astype(np.float32)
+    hit, missing = _coverage(fm, (jnp.asarray(x),), tm)
+    assert not missing, missing[:10]
+    assert hit > 500  # ResNet-101 + ASPP + rewired tail

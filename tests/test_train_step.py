@@ -66,3 +66,17 @@ def test_stage_lr_schedule(tiny_cfg):
     assert np.isclose(float(sched.lr_zoom(jnp.asarray(0))), 0.1)
     assert np.isclose(float(sched.lr_class(jnp.asarray((n - 1) * iters))), 0.01)
     assert np.isclose(float(sched.lr_class(jnp.asarray((2 * n - 1) * iters))), 0.001)
+
+
+def test_stage_lr_schedule_scale_by_iter(tiny_cfg):
+    # with scale_by_iter the reference divides cur_iter by
+    # deform_pretrain * epoch_iters (train_deform_semantic.py:321-323)
+    cfg = tiny_cfg.clone()
+    cfg.TRAIN.scale_by_iter = True
+    sched = make_stage_schedules(cfg)
+    iters = cfg.TRAIN.epoch_iters
+    n = cfg.TRAIN.deform_pretrain * iters
+    assert np.isclose(float(sched.lr_class(jnp.asarray(0))), 0.1)
+    assert np.isclose(float(sched.lr_class(jnp.asarray(n - 1))), 0.1)
+    assert np.isclose(float(sched.lr_class(jnp.asarray(n))), 0.01)
+    assert np.isclose(float(sched.lr_zoom(jnp.asarray(2 * n))), 0.001)
