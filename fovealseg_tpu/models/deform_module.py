@@ -169,7 +169,10 @@ class DeformSegmentation(nn.Module):
         if xs_override is not None:
             xs = jax.lax.stop_gradient(xs_override)
         grid, grid_y = self.grids(xs)
-        x_sampled = grid_sample(x, grid).astype(self.dtype)
+        # warp in compute dtype: the gather is latency-bound per row, so
+        # halving the row bytes (bf16) nearly halves the warp cost; the
+        # result feeds the bf16 encoder anyway
+        x_sampled = grid_sample(x.astype(self.dtype), grid)
         feats = self.encoder(x_sampled, train=train)
         pred = self.decoder(feats, train=train)
         return dict(xs=xs, grid=grid, grid_y=grid_y, x_sampled=x_sampled, pred=pred)
@@ -197,7 +200,7 @@ class DeformSegmentation(nn.Module):
         # create_grid; a post-hoc resize of x_sampled would leave the inverse
         # indices normalized by the wrong th/tw)
         grid, grid_y = self.grids(xs, task_hw=c.task_hw_infer, label_hw=c.task_hw_infer)
-        x_sampled = grid_sample(x, grid).astype(self.dtype)
+        x_sampled = grid_sample(x.astype(self.dtype), grid)
         feats = self.encoder(x_sampled, train=False)
         pred = self.decoder(feats, train=False)
         task_idx, valid = inverse_grid_index(grid, seg_hw)

@@ -52,3 +52,25 @@ def test_resize_1d_matches_torch(rng):
     ref = TF.interpolate(torch.from_numpy(v)[None, None, None, :], size=(1, 181),
                          mode="bilinear").numpy()[0, 0, 0]
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=3e-5)
+
+
+def test_integer_factor_closed_forms_match_matrix(rng):
+    """The slice/repeat integer-scale resize forms (kept for reference) are
+    float-exact against the dense-matrix path used by the dispatchers."""
+    from fovealseg_tpu.core.interpolate import (
+        _apply_axis_matrix,
+        _downsample_int_axis,
+        _linear_resize_matrix,
+        _upsample_int_axis,
+    )
+
+    for in_s, out_s in [(640, 80), (81, 27), (30, 10)]:
+        x = jnp.asarray(rng.standard_normal((2, in_s, 7, 3)).astype(np.float32))
+        fast = _downsample_int_axis(x, in_s // out_s, 1)
+        ref = _apply_axis_matrix(x, _linear_resize_matrix(in_s, out_s), 1)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=1e-6, atol=1e-6)
+    for in_s, out_s in [(40, 80), (10, 80), (27, 81)]:
+        x = jnp.asarray(rng.standard_normal((2, in_s, 7, 3)).astype(np.float32))
+        fast = _upsample_int_axis(x, out_s // in_s, 1)
+        ref = _apply_axis_matrix(x, _linear_resize_matrix(in_s, out_s), 1)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=1e-6, atol=1e-6)

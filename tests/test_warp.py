@@ -43,3 +43,23 @@ def test_grid_sample_zero_padding(rng):
     grid = np.full((1, 4, 4, 2), -3.0, dtype=np.float32)  # far out of range
     out = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
     np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+def test_packed_matches_taps_exactly(rng):
+    """The single-gather packed bilinear path is bit-identical to the 4-tap
+    reference path, including out-of-range coords and NaN propagation."""
+    from fovealseg_tpu.core.warp import _grid_sample_packed, _grid_sample_taps
+
+    img = rng.standard_normal((2, 33, 47, 3)).astype(np.float32)
+    grid = rng.uniform(-1.6, 1.6, (2, 19, 21, 2)).astype(np.float32)
+    grid[0, 0, 0] = [-1.0, -1.0]
+    grid[0, 0, 1] = [1.0, 1.0]
+    grid[0, 1, 0] = [-1.2, 0.3]  # one tap off-canvas
+    grid[0, 1, 1] = [0.3, 1.5]
+    grid[1, 2, 3] = [np.nan, 0.0]
+    a = np.asarray(_grid_sample_taps(jnp.asarray(img), jnp.asarray(grid)))
+    b = np.asarray(_grid_sample_packed(jnp.asarray(img), jnp.asarray(grid)))
+    nan_a, nan_b = np.isnan(a), np.isnan(b)
+    np.testing.assert_array_equal(nan_a, nan_b)
+    np.testing.assert_array_equal(a[~nan_a], b[~nan_b])
+    assert nan_a[1, 2, 3].all()
