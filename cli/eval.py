@@ -108,6 +108,45 @@ def main(argv=None):
             method=DeformSegmentation.infer,
         )
 
+    # eval visualization surface: TB add_image set for the first 4 batches
+    # (models_instance.py:952, 1022-1105 tag grammar) + PNG dump set under
+    # {DIR}/valid_visual_epoch{N} (models/models.py:977-980)
+    visualize = bool(cfg.VAL.visualize or cfg.TRAIN.train_eval_visualise)
+    writer = None
+    if visualize:
+        from fovealseg_tpu.utils.observe import SummaryWriter
+
+        os.makedirs(cfg.DIR, exist_ok=True)
+        writer = SummaryWriter(os.path.join(cfg.DIR, "tensorboard"))
+        vis_dir = os.path.join(cfg.DIR, f"valid_visual_epoch{cfg.TRAIN.start_epoch}")
+
+    def _emit_visuals(bi, x_np, out, pred_cls, gt):
+        from fovealseg_tpu.utils.visuals import dump_train_visuals, rgb_img
+
+        nc = cfg.DATASET.num_class
+        sm = np.asarray(out["xs"][..., 0], np.float32)
+        x_warp = np.asarray(out["x_sampled"], np.float32)
+        pred_full = np.asarray(out["pred_sampled"], np.float32)
+        for i in range(min(x_np.shape[0], 2)):
+            k = bi * cfg.VAL.batch_size + i
+            s = sm[i] / (sm[i].max() + 1e-12)
+            writer.add_image(f"eval_{k}/Saliency Map", np.repeat(s[..., None], 3, -1), bi)
+            writer.add_image(f"eval_{k}/Deformed Image", x_warp[i], bi)
+            writer.add_image(
+                f"eval_{k}/Deformed pred",
+                np.asarray(rgb_img(np.argmax(np.asarray(out["pred"], np.float32)[i], -1), nc),
+                           np.float32) / 255.0, bi)
+            writer.add_image(
+                f"eval_{k}/Interpolated Deformed Pred",
+                np.asarray(rgb_img(np.argmax(pred_full[i], -1), nc), np.float32) / 255.0, bi)
+            writer.add_image(
+                f"eval_{k}/Label Original",
+                np.asarray(rgb_img(gt[i], nc), np.float32) / 255.0, bi)
+            dump_train_visuals(
+                vis_dir, f"iter{bi}_batch{i}",
+                pred_logits=pred_full[i], gt_hr=gt[i], saliency=sm[i],
+                num_classes=nc)
+
     inter_sum = None
     union_sum = None
     acc_m, n = 0.0, 0
@@ -123,6 +162,8 @@ def main(argv=None):
         gt = (y * cls[:, None, None] + (1 - y) * bg).astype(np.int64)
         out = infer(params, stats, x, f, jnp.asarray(gt))
         pred = np.argmax(np.asarray(out["pred_sampled"]), axis=-1)
+        if visualize and n < 4:
+            _emit_visuals(n, np.asarray(x), out, pred, gt)
         if rev_y:
             # VAL.y_sampled_reverse: how much IoU the warp round-trip alone
             # costs (reference eval.py:178-269 'y_sampled_reverse' probe) —
@@ -174,6 +215,8 @@ def main(argv=None):
         yiou = np.asarray(yrev_inter) / np.maximum(np.asarray(yrev_union), 1e-10)
         ypresent = np.asarray(yrev_union) > 0
         result["y_reverse_iou"] = float(yiou[ypresent].mean())
+    if writer is not None:
+        writer.close()
     log.info("eval: mean_iou=%.4f acc=%.4f", result["mean_iou"], result["pixel_acc"])
     print(json.dumps({k: v for k, v in result.items() if k != "per_class_iou"}))
     return result

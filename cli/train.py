@@ -131,7 +131,24 @@ def main(argv=None):
     train_step = make_parallel_train_step(module, tx, lcfg, mesh, axis)
     eval_step = make_parallel_eval_step(module, lcfg, mesh, axis)
 
-    state = fit(cfg, state, train_step, eval_step, train_loader, val_loader)
+    def visual_fn(state, epoch):
+        # reference cadence dump set: {DIR}/train_visual_epoch{N}/iter0_batch{i}_*
+        # (models/models.py:973-1039); uses one val batch on the unsharded module
+        from fovealseg_tpu.utils.visuals import collect_deform_visuals, dump_batch_visuals
+
+        batch = next(iter(val_loader()))
+        host_batch = {k: np.asarray(v) for k, v in batch.items() if hasattr(v, "shape")}
+        variables = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        vis = collect_deform_visuals(init_module, variables, host_batch, cfg.DATASET.num_class)
+        save_dir = os.path.join(cfg.DIR, f"train_visual_epoch{epoch}")
+        paths = dump_batch_visuals(save_dir, vis, num_classes=cfg.DATASET.num_class)
+        log.info("wrote %d train visuals to %s", len(paths), save_dir)
+
+    state = fit(cfg, state, train_step, eval_step, train_loader, val_loader,
+                visual_fn=visual_fn if cfg.TRAIN.train_eval_visualise else None)
     log.info("Training Done!")
     return state
 

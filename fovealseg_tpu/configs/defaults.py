@@ -202,5 +202,7 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.mesh_shape = (0,)  # 0 → use all devices on the data axis
     _C.TPU.donate_state = True
     _C.TPU.jfa_iters = 0  # 0 → auto (ceil(log2(max(segSize))))
+    _C.TPU.profile_dir = ""  # non-empty → capture a jax.profiler device
+    # trace of the first training epoch into this directory (SURVEY.md §5)
 
     return _C

@@ -64,14 +64,42 @@ def detect_family(root_dataset: str, list_train: str) -> str:
     return "ade"
 
 
-def family_label_mapping(family: str, class_mapping: int = 0) -> dict:
+def family_label_mapping(family: str, class_mapping: int = 0, binary_class: int = -1) -> dict:
     if family == "gleason":
         return GLEASON_MAPPINGS.get(class_mapping, GLEASON_MAPPINGS[0])
     if family == "digest":
         return DIGEST_MAPPING
     if family == "cityscapes":
+        if binary_class != -1:
+            # DATASET.binary_class (dataset.py:134-144). NOTE: the reference
+            # builds the dict with an unguarded if/else whose else-branch
+            # overwrites the ignore assignments, so the *effective* mapping is
+            # "binary_class -> 2, every other id (ignores included) -> 1";
+            # replicated faithfully.
+            return {i: (2 if i == binary_class else 1) for i in range(-1, 34)}
         return CITYSCAPES_MAPPING
     return {}
+
+
+# config keys present in the reference's DATASET group but never read by any
+# reference code path (defaults.py:32-34 — grep-verified dead): accepting and
+# ignoring them IS the parity behavior, but do it loudly.
+DEAD_REFERENCE_OPTIONS = ("multi_scale_aug", "adjust_crop_range", "mirror_padding")
+
+
+def warn_dead_options(cfg, logger=None) -> list[str]:
+    """Warn for DATASET options that are dead keys in the reference itself."""
+    import logging
+
+    logger = logger or logging.getLogger("fovealseg")
+    hit = [k for k in DEAD_REFERENCE_OPTIONS if getattr(cfg.DATASET, k, False)]
+    for k in hit:
+        logger.warning(
+            "DATASET.%s is set but is a dead config key in the reference "
+            "(defined at config/defaults.py:32-34, never read); ignoring it "
+            "reproduces reference behavior", k,
+        )
+    return hit
 
 
 def parse_odgt(odgt, max_sample: int = -1, start_idx: int = -1, end_idx: int = -1):
@@ -107,13 +135,20 @@ class OdgtDataset:
     padding_constant: int = 8
     segm_downsampling_rate: int = 8
     random_flip: str = "Flip"
+    binary_class: int = -1  # DATASET.binary_class (cityscapes fg-vs-rest)
+    repeat_sample: int = 0  # DATASET.repeat_sample (dataset.py:313-367)
+    gt_gradient_rm_under_repre: float = 0.0  # dataset.py:322-335
+    val_central_crop: bool = False  # dataset.py:638-650
+    val_central_crop_shape: tuple = (300, 300)
     samples: list = field(default_factory=list)
 
     def __post_init__(self):
         self.samples = parse_odgt(self.odgt)
         self.family = detect_family(self.root_dataset, self.list_train)
         self.mean, self.std = NORMALIZATION[self.family]
-        self.label_mapping = family_label_mapping(self.family, self.class_mapping)
+        self.label_mapping = family_label_mapping(
+            self.family, self.class_mapping, self.binary_class
+        )
 
     def __len__(self):
         return len(self.samples)

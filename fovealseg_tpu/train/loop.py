@@ -122,9 +122,16 @@ def fit(
     train_loader: Callable[[int], Iterable[dict]],
     val_loader: Callable[[], Iterable[dict]],
     rng=None,
+    visual_fn: Optional[Callable] = None,
 ) -> object:
     """Full driver: epochs [start_epoch, num_epoch) with the reference's
-    checkpoint/eval cadence and skip_train_for_eval support."""
+    checkpoint/eval cadence and skip_train_for_eval support.
+
+    ``visual_fn(state, epoch)`` (optional) emits the train visual-dump set;
+    it is invoked on the reference's cadence (every-10-epochs ``epoch%10==1``
+    when TRAIN.train_eval_visualise, models/models.py:973-976).
+    ``cfg.TPU.profile_dir`` (rebuild-specific) captures a ``jax.profiler``
+    device trace of the first training epoch (SURVEY.md §5 tracing)."""
     from fovealseg_tpu.utils.observe import SummaryWriter
 
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.TRAIN.seed)
@@ -135,15 +142,27 @@ def fit(
     # TB scalar names mirror the reference writer (train_deform_semantic.py:
     # 403, 521-559)
     writer = SummaryWriter(os.path.join(ckpt_dir, "tensorboard"))
+    profile_dir = getattr(cfg.TPU, "profile_dir", "")
+    profiled = False
 
     for epoch0 in range(cfg.TRAIN.start_epoch, cfg.TRAIN.num_epoch):
         epoch = epoch0 + 1
         cfg.TRAIN.global_epoch = epoch
         if not cfg.TRAIN.skip_train_for_eval:
             rng, sub = jax.random.split(rng)
-            state, summary = train_one_epoch(
-                train_step, state, train_loader(epoch), epoch, cfg, sub, history
-            )
+            if profile_dir and not profiled:
+                profiled = True
+                with jax.profiler.trace(profile_dir):
+                    state, summary = train_one_epoch(
+                        train_step, state, train_loader(epoch), epoch, cfg, sub, history
+                    )
+                log.info("jax.profiler trace written to %s", profile_dir)
+            else:
+                state, summary = train_one_epoch(
+                    train_step, state, train_loader(epoch), epoch, cfg, sub, history
+                )
+            if visual_fn is not None and cfg.TRAIN.train_eval_visualise and epoch % 10 == 1:
+                visual_fn(state, epoch)
             log.info("epoch %d train: %s", epoch, json.dumps(summary))
             writer.add_scalar("Loss/train", summary["loss"], epoch)
             writer.add_scalar("Acc/train", summary["acc"], epoch)

@@ -67,9 +67,12 @@ def red_dot_overlay(image01: np.ndarray, sample_mask: np.ndarray) -> np.ndarray:
 
 
 def dump_train_visuals(save_dir: str, tag: str, *, pred_logits=None, gt=None,
-                       saliency=None, x_sampled=None, sample_mask=None,
-                       image=None, num_classes: int = 51) -> list[str]:
-    """Write the reference's per-iteration dump set; returns written paths."""
+                       gt_hr=None, saliency=None, grid_image=None,
+                       sample_mask=None, image=None,
+                       num_classes: int = 51) -> list[str]:
+    """Write the reference's per-iteration dump set
+    (models/models.py:989-1039 filename grammar: ``{tag}_{pred,gt,gt_hr,
+    grid,sm,reddot}.png``); returns written paths."""
     os.makedirs(save_dir, exist_ok=True)
     written = []
 
@@ -82,12 +85,95 @@ def dump_train_visuals(save_dir: str, tag: str, *, pred_logits=None, gt=None,
         rgb_img(np.argmax(pred_logits, axis=-1), num_classes).save(p("pred"))
     if gt is not None:
         rgb_img(gt, num_classes).save(p("gt"))
+    if gt_hr is not None:
+        rgb_img(gt_hr, num_classes).save(p("gt_hr"))
     if saliency is not None:
         s = np.asarray(saliency, dtype=np.float32)
         s = s / (s.max() + 1e-12)
         save_gray(s, p("sm"))
-    if x_sampled is not None:
-        save_rgb01(x_sampled, p("grid"))
+    if grid_image is not None:
+        save_rgb01(grid_image, p("grid"))
     if image is not None and sample_mask is not None:
         save_rgb01(red_dot_overlay(image, sample_mask), p("reddot"))
+    return written
+
+
+def make_grid_pattern(h: int, w: int, spacing: int = 16) -> np.ndarray:
+    """Synthetic line-grid image [H, W, 3] in [0, 1].
+
+    Stand-in for the reference's ``data/grid/grid_1024_2048.png`` asset
+    (models/models.py:853-866): warping this pattern through the deformation
+    grid visualizes the non-uniform sampling density. Generated
+    programmatically instead of shipping a binary asset."""
+    img = np.ones((h, w, 3), dtype=np.float32)
+    img[::spacing, :, :] = 0.0
+    img[:, ::spacing, :] = 0.0
+    return img
+
+
+def collect_deform_visuals(module, variables, batch, num_classes: int = 51):
+    """Run the deform module on one batch and assemble the dump-set arrays.
+
+    Returns a dict of numpy arrays: pred [B,h,w,C] logits, gt [B,h,w] warped
+    ground truth, gt_hr [B,H,W], sm [B,gh,gw] saliency, grid_image [B,h,w,3]
+    (grid pattern warped through the sampling grid), sample_mask [B,H,W]
+    (where a task pixel landed — the red-dot mask), image [B,H,W,3].
+    jax is imported lazily so this module stays numpy-only otherwise.
+    """
+    import jax.numpy as jnp
+
+    from fovealseg_tpu.core.grid import inverse_grid_index
+    from fovealseg_tpu.core.warp import grid_sample
+
+    x = jnp.asarray(batch["img_data"])
+    f = jnp.asarray(batch["focus_point"])
+    y = np.asarray(batch["seg_label"])
+    cls = np.asarray(batch["cls_label"]).reshape(-1).astype(np.int64)
+    bg = num_classes - 1
+
+    out = module.apply(variables, x, f, train=False)
+    grid = out["grid"]
+    h, w = x.shape[1], x.shape[2]
+    pattern = jnp.asarray(make_grid_pattern(h, w))[None]
+    pattern = jnp.broadcast_to(pattern, (x.shape[0], h, w, 3))
+    grid_image = grid_sample(pattern, grid)
+    _, valid = inverse_grid_index(grid, (h, w))
+
+    y_sampled = np.asarray(
+        grid_sample(jnp.asarray(y, jnp.float32)[..., None], out["grid_y"])[..., 0]
+    ).astype(np.int64)
+    gt = y_sampled * cls[:, None, None] + (1 - y_sampled) * bg
+    gt_hr = y.astype(np.int64) * cls[:, None, None] + (1 - y.astype(np.int64)) * bg
+
+    return {
+        "pred": np.asarray(out["pred"], np.float32),
+        "gt": gt,
+        "gt_hr": gt_hr,
+        "sm": np.asarray(out["xs"][..., 0], np.float32),
+        "grid_image": np.asarray(grid_image, np.float32),
+        "sample_mask": np.asarray(valid),
+        "image": np.asarray(x, np.float32),
+    }
+
+
+def dump_batch_visuals(save_dir: str, vis: dict, cur_iter: int = 0,
+                       num_classes: int = 51, max_items: int | None = None) -> list[str]:
+    """Dump ``collect_deform_visuals`` output for the first B/2 samples with
+    the reference's ``iter{it}_batch{i}_*`` naming (models/models.py:989+)."""
+    b = vis["pred"].shape[0]
+    n = max_items if max_items is not None else max(1, b // 2)
+    written = []
+    for i in range(min(n, b)):
+        written += dump_train_visuals(
+            save_dir,
+            f"iter{cur_iter}_batch{i}",
+            pred_logits=vis["pred"][i],
+            gt=vis["gt"][i],
+            gt_hr=vis["gt_hr"][i],
+            saliency=vis["sm"][i],
+            grid_image=vis["grid_image"][i],
+            sample_mask=vis["sample_mask"][i],
+            image=vis["image"][i],
+            num_classes=num_classes,
+        )
     return written

@@ -68,3 +68,63 @@ def test_cli_eval_smoke(tmp_path):
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     assert "mean_iou" in res and 0.0 <= res["mean_iou"] <= 1.0
+
+@pytest.mark.slow
+def test_cli_train_visuals_and_profile(tmp_path):
+    """TRAIN.train_eval_visualise emits the reference dump set on the
+    epoch%10==1 cadence (models/models.py:973-1039) and TPU.profile_dir
+    captures a jax.profiler trace (SURVEY.md section 5)."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_tests');"
+         "import sys; sys.argv=['train'] + sys.argv[1:];"
+         "sys.path.insert(0, %r); import importlib.util;"
+         "spec = importlib.util.spec_from_file_location('clitrain', %r);"
+         "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
+         % (REPO, os.path.join(REPO, "cli", "train.py")),
+         "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
+         *TINY_OPTS,
+         "TRAIN.num_epoch", "1", "TRAIN.epoch_iters", "2",
+         "TRAIN.train_eval_visualise", "True",
+         "TPU.profile_dir", str(tmp_path / "trace"),
+         "DIR", str(tmp_path / "run")],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    vis = tmp_path / "run" / "train_visual_epoch1"
+    assert vis.is_dir(), "train visual dir missing"
+    names = {p.name for p in vis.iterdir()}
+    for kind in ("pred", "gt", "gt_hr", "grid", "sm", "reddot"):
+        assert f"iter0_batch0_{kind}.png" in names, f"missing {kind} dump: {names}"
+    trace = tmp_path / "trace"
+    assert trace.is_dir() and any(trace.rglob("*")), "profiler trace missing"
+
+
+@pytest.mark.slow
+def test_cli_eval_visualize(tmp_path):
+    """VAL.visualize emits the eval TB image set + valid_visual PNG dumps
+    (models_instance.py:952-1105)."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_tests');"
+         "import sys; sys.argv=['eval'] + sys.argv[1:];"
+         "sys.path.insert(0, %r); import importlib.util;"
+         "spec = importlib.util.spec_from_file_location('clieval', %r);"
+         "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
+         % (REPO, os.path.join(REPO, "cli", "eval.py")),
+         "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
+         "--num-batches", "2",
+         *TINY_OPTS, "VAL.batch_size", "2",
+         "VAL.visualize", "True",
+         "DIR", str(tmp_path / "run")],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    vis = tmp_path / "run" / "valid_visual_epoch0"
+    assert vis.is_dir(), "valid visual dir missing"
+    names = {p.name for p in vis.iterdir()}
+    assert "iter0_batch0_pred.png" in names, names
+    tb = tmp_path / "run" / "tensorboard"
+    assert tb.is_dir() and any(tb.iterdir()), "tensorboard events missing"
