@@ -1,0 +1,201 @@
+"""Legacy multi-scale ODGT evaluation driver (ADE20K / Cityscapes configs).
+
+Counterpart of the reference's full-inference ``evaluate``
+(/root/reference/eval.py:86-369): consume ``ValDataset``'s multi-scale
+``img_data`` list, run the deform module's full-res inference branch per
+scale, average the inverse-warped class scores across scales
+(``scores += scores_tmp / len(imgSizes)``, eval.py:185), and report full-res
+accuracy + per-class IoU (with the family's ignore-index handling,
+eval.py:228-252) plus warped-domain ("deformed") metrics and the optional
+``VAL.y_sampled_reverse`` round-trip probe.
+
+Gaze policy: the legacy ODGT records carry no gaze point; the reference's
+shipped ``evaluate`` only runs on gaze-tuple datasets (eval.py:137 unpacks
+``(X, F, Y, cls)``) and is latently broken for ValDataset inputs. Here the
+driver defines the gaze explicitly: ``--gaze r c`` (default 0.5 0.5, image
+center), making ``configs/ade20k.yaml`` exercisable end to end.
+
+Each distinct scale shape compiles once (shape-bucketed jit is available in
+``fovealseg_tpu.models.bucketed`` for production pipelines with many sizes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="fovealseg-tpu multi-scale ODGT eval")
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--gpus", default="0")
+    parser.add_argument("--gaze", type=float, nargs=2, default=(0.5, 0.5),
+                        help="normalized (row, col) gaze for the foveation")
+    parser.add_argument("--num-samples", type=int, default=-1)
+    parser.add_argument("--torch-ckpt", default=None)
+    parser.add_argument("--torch-epoch", default="last")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fovealseg_tpu.configs import get_default_cfg
+    from fovealseg_tpu.core import metrics as M
+    from fovealseg_tpu.core.warp import grid_sample
+    from fovealseg_tpu.data.odgt import ValDataset, warn_dead_options
+    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+    from fovealseg_tpu.train.optim import create_optimizer
+    from fovealseg_tpu.train.step import init_state
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("fovealseg.eval_odgt")
+    warn_dead_options(cfg, log)
+
+    ds = ValDataset(
+        root_dataset=cfg.DATASET.root_dataset,
+        odgt=cfg.DATASET.list_val,
+        num_class=cfg.DATASET.num_class,
+        class_mapping=cfg.DATASET.class_mapping,
+        list_train=cfg.DATASET.list_train,
+        imgSizes=tuple(cfg.DATASET.imgSizes) if isinstance(cfg.DATASET.imgSizes, (list, tuple)) else (cfg.DATASET.imgSizes,),
+        imgMaxSize=cfg.DATASET.imgMaxSize,
+        padding_constant=cfg.DATASET.padding_constant,
+        segm_downsampling_rate=cfg.DATASET.segm_downsampling_rate,
+        binary_class=cfg.DATASET.binary_class,
+        val_central_crop=cfg.DATASET.val_central_crop,
+        val_central_crop_shape=tuple(cfg.DATASET.val_central_crop_shape),
+    )
+    n_samples = len(ds) if args.num_samples < 0 else min(args.num_samples, len(ds))
+    log.info("ValDataset: %d records (%s family), scales %s",
+             len(ds), ds.family, ds.imgSizes)
+
+    # family ignore-index handling (eval.py:228-252): cityscapes hard-codes
+    # ignore_index=0; other families use DATASET.ignore_index unless -2
+    if ds.family == "cityscapes":
+        ignore_index = 0
+    else:
+        ignore_index = cfg.DATASET.ignore_index if cfg.DATASET.ignore_index != -2 else None
+
+    dc = DeformConfig.from_cfg(cfg)
+    module = DeformSegmentation(config=dc)
+    tx = create_optimizer(cfg)
+
+    rec0 = ds[0]
+    x0 = jnp.asarray(rec0["img_data"][0])
+    sample = {
+        "img_data": x0,
+        "focus_point": jnp.asarray([args.gaze], jnp.float32),
+    }
+    state = init_state(module, tx, jax.random.PRNGKey(cfg.TRAIN.seed), sample)
+    params, stats = state.params, state.batch_stats
+
+    if args.torch_ckpt:
+        from fovealseg_tpu.train.checkpoint import load_torch_checkpoint
+
+        params, stats = load_torch_checkpoint(args.torch_ckpt, args.torch_epoch, params, stats)
+        log.info("imported torch checkpoint from %s", args.torch_ckpt)
+    elif cfg.TRAIN.start_epoch > 0 and os.path.isdir(cfg.DIR):
+        from fovealseg_tpu.train import checkpoint as ckpt
+
+        restored = ckpt.load_checkpoint(cfg.DIR, cfg.TRAIN.start_epoch, state)
+        params, stats = restored["params"], restored["batch_stats"]
+
+    rev_y = bool(cfg.VAL.y_sampled_reverse)
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("seg_hw",))
+    def infer_scale(params, stats, x, f, y, seg_hw):
+        out = module.apply(
+            {"params": params, "batch_stats": stats}, x, f,
+            seg_hw=seg_hw, y=y, y_sampled_reverse=rev_y,
+            method=DeformSegmentation.infer,
+        )
+        # warped-domain label for the "deformed" metric family
+        # (eval.py:231 acc(pred_deformed, y_sampled))
+        y_s = grid_sample(y.astype(jnp.float32)[..., None], out["grid_y"], mode="nearest")[..., 0]
+        keep = {"pred_sampled": out["pred_sampled"], "pred": out["pred"], "y_sampled": y_s}
+        if rev_y:
+            keep["y_sampled_reverse"] = out["y_sampled_reverse"]
+        return keep
+
+    f = jnp.asarray([args.gaze], jnp.float32)
+    inter_sum = union_sum = None
+    inter_def = union_def = None
+    inter_rev = union_rev = None
+    acc_m = acc_def_m = acc_rev_m = 0.0
+    n = 0
+    for idx in range(n_samples):
+        rec = ds[idx]
+        seg = np.asarray(rec["seg_label"][0], np.int64)  # [H, W], -1 = ignore
+        if ignore_index is not None:
+            seg = np.where(seg == ignore_index, -1, seg)
+        seg_hw = (seg.shape[0], seg.shape[1])
+        y = jnp.asarray(seg[None])
+        scores = None
+        out = None
+        for x_np in rec["img_data"]:
+            out = infer_scale(params, stats, jnp.asarray(x_np), f, y, seg_hw)
+            s = np.asarray(out["pred_sampled"], np.float32)
+            scores = s / len(rec["img_data"]) if scores is None else scores + s / len(rec["img_data"])
+        pred = np.argmax(scores[0], axis=-1)
+        seg_j = jnp.asarray(seg)
+        acc, _ = M.accuracy(jnp.asarray(pred), seg_j)
+        acc_m += float(acc)
+        i1, u1 = M.intersection_and_union(jnp.asarray(pred), seg_j, cfg.DATASET.num_class)
+        inter_sum = i1 if inter_sum is None else inter_sum + i1
+        union_sum = u1 if union_sum is None else union_sum + u1
+
+        # deformed (warped-domain) metrics from the last scale (eval.py:210,231)
+        pred_def = np.argmax(np.asarray(out["pred"], np.float32)[0], axis=-1)
+        y_samp = np.asarray(out["y_sampled"], np.int64)[0]
+        acc_d, _ = M.accuracy(jnp.asarray(pred_def), jnp.asarray(y_samp))
+        acc_def_m += float(acc_d)
+        i2, u2 = M.intersection_and_union(jnp.asarray(pred_def), jnp.asarray(y_samp), cfg.DATASET.num_class)
+        inter_def = i2 if inter_def is None else inter_def + i2
+        union_def = u2 if union_def is None else union_def + u2
+
+        if rev_y:
+            yr = np.asarray(out["y_sampled_reverse"], np.int64)[0]
+            acc_r, _ = M.accuracy(jnp.asarray(yr), seg_j)
+            acc_rev_m += float(acc_r)
+            i3, u3 = M.intersection_and_union(jnp.asarray(yr), seg_j, cfg.DATASET.num_class)
+            inter_rev = i3 if inter_rev is None else inter_rev + i3
+            union_rev = u3 if union_rev is None else union_rev + u3
+        n += 1
+
+    def miou(i, u):
+        i = np.asarray(i, np.float64)
+        u = np.asarray(u, np.float64)
+        present = u > 0
+        return float((i[present] / u[present]).mean()) if present.any() else 0.0
+
+    result = {
+        "mean_iou": miou(inter_sum, union_sum),
+        "pixel_acc": acc_m / max(n, 1),
+        "mean_iou_deformed": miou(inter_def, union_def),
+        "pixel_acc_deformed": acc_def_m / max(n, 1),
+        "num_samples": n,
+        "scales": list(ds.imgSizes),
+    }
+    if rev_y and inter_rev is not None:
+        result["y_reverse_iou"] = miou(inter_rev, union_rev)
+        result["y_reverse_acc"] = acc_rev_m / max(n, 1)
+    log.info("multi-scale eval: %s", json.dumps(result))
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -187,14 +187,44 @@ class OdgtDataset:
 class TrainDataset(OdgtDataset):
     """Aspect-ratio-grouped random batches (TrainDataset:290-561)."""
 
-    def batches(self, batch_per_gpu: int, seed: int = 0):
+    def _well_represented(self, idx: int) -> bool:
+        """DATASET.gt_gradient_rm_under_repre (dataset.py:322-335): for
+        binary tasks, require the foreground (last) class to exceed the
+        configured fraction of pixels."""
+        rec = self.samples[idx]
         from PIL import Image
 
+        segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
+        s = self.segm_transform(np.asarray(segm))
+        hist, _ = np.histogram(s, bins=self.num_class, range=(0, self.num_class - 1))
+        total = hist.sum()
+        return total > 0 and (hist[-1] / total) > self.gt_gradient_rm_under_repre
+
+    def _sample_stream(self, order, rng):
+        """Yields sample indices honoring repeat_sample (each record is drawn
+        ``repeat_sample`` times before advancing, dataset.py:313-367) and
+        gt_gradient_rm_under_repre (scan forward to a well-represented
+        sample, dataset.py:322-335)."""
+        filter_on = self.gt_gradient_rm_under_repre > 0 and self.num_class == 2
+        pos = 0
+        while pos < len(order):
+            idx = order[pos]
+            if filter_on:
+                scanned = 0
+                while not self._well_represented(order[pos]) and scanned < len(order):
+                    pos = (pos + 1) % len(order)
+                    scanned += 1
+                idx = order[pos]
+            for _ in range(max(1, self.repeat_sample)):
+                yield idx
+            pos += 1
+
+    def batches(self, batch_per_gpu: int, seed: int = 0):
         rng = random.Random(seed)
         order = list(range(len(self.samples)))
         rng.shuffle(order)
         groups = [[], []]  # h > w, h <= w (dataset.py:314-334)
-        for idx in order:
+        for idx in self._sample_stream(order, rng):
             rec = self.samples[idx]
             groups[0 if rec["height"] > rec["width"] else 1].append(idx)
             g = groups[0] if len(groups[0]) >= batch_per_gpu else (
@@ -238,6 +268,14 @@ class ValDataset(OdgtDataset):
 
         rec = self.samples[idx]
         img, segm = self._load_pair(rec)
+        if self.val_central_crop:
+            # DATASET.val_central_crop(_shape): center crop before the
+            # multi-scale pyramid (dataset.py:638-650)
+            cw, ch = self.val_central_crop_shape
+            w, h = img.size
+            box = ((w - cw) / 2, (h - ch) / 2, (w + cw) / 2, (h + ch) / 2)
+            img = img.crop(box)
+            segm = segm.crop(box)
         w, h = img.size
         img_list = []
         for short in (self.imgSizes if isinstance(self.imgSizes, (list, tuple)) else [self.imgSizes]):

@@ -128,3 +128,56 @@ def test_cli_eval_visualize(tmp_path):
     assert "iter0_batch0_pred.png" in names, names
     tb = tmp_path / "run" / "tensorboard"
     assert tb.is_dir() and any(tb.iterdir()), "tensorboard events missing"
+
+
+@pytest.mark.slow
+def test_cli_eval_odgt_multiscale(tmp_path):
+    """The legacy multi-scale ODGT eval driver (reference eval.py:86-369):
+    ValDataset img_list consumed, scores averaged across scales before the
+    full-res IoU, deformed-domain metrics and the y_sampled_reverse probe."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "data"
+    root.mkdir()
+    recs = []
+    for i in range(2):
+        img = Image.fromarray(rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8))
+        seg = Image.fromarray(rng.integers(1, 5, (64, 64)).astype(np.uint8))
+        img.save(root / f"im{i}.png")
+        seg.save(root / f"seg{i}.png")
+        recs.append({"fpath_img": f"im{i}.png", "fpath_segm": f"seg{i}.png",
+                     "width": 64, "height": 64})
+    odgt = root / "val.odgt"
+    odgt.write_text("\n".join(json.dumps(r) for r in recs))
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_tests');"
+         "import sys; sys.argv=['eval_odgt'] + sys.argv[1:];"
+         "sys.path.insert(0, %r); import importlib.util;"
+         "spec = importlib.util.spec_from_file_location('clievalodgt', %r);"
+         "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
+         % (REPO, os.path.join(REPO, "cli", "eval_odgt.py")),
+         "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/ade20k.yaml"),
+         *TINY_OPTS,
+         "DATASET.root_dataset", str(root),
+         "DATASET.list_val", str(odgt),
+         "DATASET.num_class", "4",
+         "DATASET.imgSizes", "(32, 48)",
+         "DATASET.imgMaxSize", "64",
+         "DATASET.padding_constant", "8",
+         "VAL.y_sampled_reverse", "True",
+         "DIR", str(tmp_path / "run")],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["num_samples"] == 2
+    assert res["scales"] == [32, 48]
+    assert 0.0 <= res["mean_iou"] <= 1.0
+    assert 0.0 <= res["mean_iou_deformed"] <= 1.0
+    assert "y_reverse_iou" in res

@@ -149,3 +149,99 @@ def test_cached_dataset_and_prefetch():
 
     with pytest.raises(ValueError):
         list(prefetch(boom()))
+
+
+def _write_odgt(root, rng, n=4, square=False, num_seg_vals=5):
+    from PIL import Image
+
+    recs = []
+    for i in range(n):
+        if square:
+            w, h = 64, 64
+        else:
+            w, h = (48, 64) if i % 2 else (64, 48)
+        img = Image.fromarray((rng.uniform(0, 255, (h, w, 3))).astype(np.uint8))
+        seg = Image.fromarray(rng.integers(1, num_seg_vals, (h, w)).astype(np.uint8))
+        img.save(root / f"im{i}.png")
+        seg.save(root / f"seg{i}.png")
+        recs.append({"fpath_img": f"im{i}.png", "fpath_segm": f"seg{i}.png",
+                     "width": w, "height": h})
+    odgt = root / "data.odgt"
+    odgt.write_text("\n".join(json.dumps(r) for r in recs))
+    return odgt
+
+
+def test_odgt_repeat_sample(tmp_path, rng):
+    """DATASET.repeat_sample: each record is drawn N times before advancing
+    (dataset.py:313-367)."""
+    odgt = _write_odgt(tmp_path, rng, n=4, square=True)
+    ds = TrainDataset(str(tmp_path), str(odgt), list_train="ADE_train",
+                      imgSizes=(32,), imgMaxSize=64, padding_constant=8,
+                      segm_downsampling_rate=1, repeat_sample=2)
+    import random as _random
+
+    order = list(range(4))
+    stream = list(ds._sample_stream(order, _random.Random(0)))
+    assert stream == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_odgt_gt_gradient_under_repre_filter(tmp_path, rng):
+    """DATASET.gt_gradient_rm_under_repre skips samples whose foreground
+    fraction is below the threshold (dataset.py:322-335)."""
+    from PIL import Image
+
+    recs = []
+    for i in range(3):
+        img = Image.fromarray((rng.uniform(0, 255, (32, 32, 3))).astype(np.uint8))
+        # sample 1 has (almost) no foreground (class-2 pixels)
+        seg = np.full((32, 32), 2, np.uint8)
+        if i == 1:
+            seg[:] = 1
+        img.save(tmp_path / f"im{i}.png")
+        Image.fromarray(seg).save(tmp_path / f"seg{i}.png")
+        recs.append({"fpath_img": f"im{i}.png", "fpath_segm": f"seg{i}.png",
+                     "width": 32, "height": 32})
+    odgt = tmp_path / "d.odgt"
+    odgt.write_text("\n".join(json.dumps(r) for r in recs))
+    ds = TrainDataset(str(tmp_path), str(odgt), list_train="ADE_train",
+                      num_class=2, imgSizes=(32,), imgMaxSize=64,
+                      padding_constant=8, segm_downsampling_rate=1,
+                      gt_gradient_rm_under_repre=0.5)
+    import random as _random
+
+    stream = list(ds._sample_stream([0, 1, 2], _random.Random(0)))
+    assert 1 not in stream  # under-represented sample filtered
+    assert 0 in stream and 2 in stream
+
+
+def test_odgt_binary_class_mapping():
+    from fovealseg_tpu.data.odgt import family_label_mapping
+
+    m = family_label_mapping("cityscapes", binary_class=24)
+    assert m[24] == 2
+    assert all(v == 1 for k, v in m.items() if k != 24)
+
+
+def test_odgt_val_central_crop(tmp_path, rng):
+    odgt = _write_odgt(tmp_path, rng, n=2, square=True)
+    vds = ValDataset(str(tmp_path), str(odgt), list_train="ADE_val",
+                     imgSizes=(32,), imgMaxSize=64, padding_constant=8,
+                     val_central_crop=True, val_central_crop_shape=(32, 48))
+    v = vds[0]
+    assert v["seg_label"].shape == (1, 48, 32)  # (H, W) after (w=32, h=48) crop
+    assert v["img_ori"].shape[:2] == (48, 32)
+
+
+def test_dead_reference_options_warn(caplog):
+    from fovealseg_tpu.configs import get_default_cfg
+    from fovealseg_tpu.data.odgt import warn_dead_options
+
+    cfg = get_default_cfg()
+    cfg.DATASET.mirror_padding = True
+    cfg.DATASET.multi_scale_aug = True
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="fovealseg"):
+        hit = warn_dead_options(cfg)
+    assert set(hit) == {"multi_scale_aug", "mirror_padding"}
+    assert "dead config key" in caplog.text
