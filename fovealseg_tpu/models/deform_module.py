@@ -33,6 +33,7 @@ from fovealseg_tpu.core.gaze import focus_distance_map
 from fovealseg_tpu.core.grid import GridSolver, inverse_grid, inverse_grid_index, pad_saliency
 from fovealseg_tpu.core.interpolate import resize_bilinear
 from fovealseg_tpu.core.unwarp import (
+    jfa_rounds_from_grid,
     unwarp_labels_fast,
     unwarp_prediction,
     unwarp_prediction_fast,
@@ -62,6 +63,8 @@ class DeformConfig:
     uniform_sample: str = ""
     f_xlr_low_scale: int = 0  # VAL.F_Xlr_low_scale: downscale the saliency
     # input for efficient inference (eval.py F_Xlr path); 0 = off
+    jfa_iters: int = 0  # TPU.jfa_iters: fixed JFA chain length; 0 = derive
+    # the round count from the grid geometry at runtime (jfa_rounds_from_grid)
 
     @classmethod
     def from_cfg(cls, cfg) -> "DeformConfig":
@@ -84,6 +87,7 @@ class DeformConfig:
             rev_deform_interp=cfg.MODEL.rev_deform_interp,
             uniform_sample=cfg.MODEL.uniform_sample,
             f_xlr_low_scale=cfg.VAL.F_Xlr_low_scale,
+            jfa_iters=cfg.TPU.jfa_iters,
         )
 
     def solver(self) -> GridSolver:
@@ -209,9 +213,15 @@ class DeformSegmentation(nn.Module):
         gx = jnp.where(valid, (safe % tw) / tw * 2.0 - 1.0, jnp.nan)
         gy = jnp.where(valid, (safe // tw) / th * 2.0 - 1.0, jnp.nan)
         grid_inv = jnp.stack([gx, gy], axis=-1)
+        # JFA chain length: fixed via TPU.jfa_iters, else bounded at runtime
+        # by the grid geometry (max warped-cell diagonal — VERDICT r1 item 3)
+        jfa_iters = c.jfa_iters or None
+        jfa_rounds = None if c.jfa_iters else jfa_rounds_from_grid(grid, seg_hw)
         if c.rev_deform_interp == "nearest":
             # exact fast path: payload JFA + one gather (core/unwarp.py)
-            pred_sampled = unwarp_prediction_fast(pred.astype(jnp.float32), task_idx, valid)
+            pred_sampled = unwarp_prediction_fast(
+                pred.astype(jnp.float32), task_idx, valid, jfa_iters, jfa_rounds
+            )
         else:
             pred_sampled = unwarp_prediction(
                 pred.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp
@@ -233,7 +243,9 @@ class DeformSegmentation(nn.Module):
             # never a bilinear average of class ids.
             y_s = grid_sample(y.astype(jnp.float32)[..., None], grid_y, mode="nearest")
             out["y_sampled"] = y_s[..., 0]
-            out["y_sampled_reverse"] = unwarp_labels_fast(y_s, task_idx, valid)[..., 0]
+            out["y_sampled_reverse"] = unwarp_labels_fast(
+                y_s, task_idx, valid, jfa_iters, jfa_rounds
+            )[..., 0]
         if x_sampled_reverse:
             out["x_sampled_reverse"] = unwarp_prediction(
                 x_sampled.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp

@@ -41,8 +41,8 @@ def _shift_clamp(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return x
 
 
-def _jfa_kernel(valid_ref, payload_ref, out_ref, *, h: int, w: int, steps: tuple,
-                use_payload: bool):
+def _jfa_kernel(rounds_ref, valid_ref, payload_ref, out_ref, *, h: int, w: int,
+                max_rounds: int, use_payload: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -57,8 +57,13 @@ def _jfa_kernel(valid_ref, payload_ref, out_ref, *, h: int, w: int, steps: tuple
     pay = jnp.where(valid, payload_ref[0], 0)
     best = jnp.where(valid, jnp.float32(0), inf)
 
-    n_rounds = len(steps)
-    first_k = steps[0]
+    # runtime-variable chain length (scalar-prefetched): rounds R means steps
+    # 2^(R-1), ..., 2, 1, plus the extra final 1-step round — R+1 trips; the
+    # trip count is a traced scalar so short chains (grid-derived bound,
+    # core.unwarp.jfa_rounds_from_grid) skip work entirely.
+    rounds = jnp.clip(rounds_ref[0], 1, max_rounds)
+    n_rounds = rounds + 1
+    first_k = (1 << (rounds - 1)).astype(jnp.int32)
 
     def roll(x, dy, dx):
         # circular shift by traced offsets; wrapped lanes masked via `ok`
@@ -95,16 +100,20 @@ def _jfa_kernel(valid_ref, payload_ref, out_ref, *, h: int, w: int, steps: tuple
     out_ref[0] = pay if use_payload else seed
 
 
-def _pallas_jfa_call(valid, payload, num_iters, interpret, use_payload):
+def _pallas_jfa_call(valid, payload, num_iters, interpret, use_payload, rounds=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w = valid.shape
-    n = num_iters or max(1, math.ceil(math.log2(max(h, w))))
-    steps = tuple(1 << (n - 1 - i) for i in range(n)) + (1,)
+    full = max(1, math.ceil(math.log2(max(h, w))))
+    if rounds is None:
+        rounds = jnp.asarray(num_iters or full, jnp.int32)
+    rounds = jnp.asarray(rounds, jnp.int32).reshape(1)
 
-    kernel = functools.partial(_jfa_kernel, h=h, w=w, steps=steps, use_payload=use_payload)
-    spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_jfa_kernel, h=h, w=w, max_rounds=full,
+                               use_payload=use_payload)
+    # index maps receive the scalar-prefetch ref as a trailing arg
+    spec = lambda: pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     kwargs = {}
     if not interpret:
         from jax.experimental.pallas import tpu as _pt
@@ -112,16 +121,20 @@ def _pallas_jfa_call(valid, payload, num_iters, interpret, use_payload):
         # the carry (packed seed + payload + best) plus rolled temporaries
         # exceeds the default 16M scoped budget at 640x640
         kwargs["compiler_params"] = _pt.CompilerParams(vmem_limit_bytes=100 * 2**20)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[spec(), spec()],
         out_specs=spec(),
-        input_output_aliases={1: 0},  # payload buffer reused for the output
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0},  # payload buffer reused for the output
         interpret=interpret,
         **kwargs,
-    )(valid.astype(jnp.int32), payload.astype(jnp.int32))
+    )(rounds, valid.astype(jnp.int32), payload.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "interpret"))
@@ -135,10 +148,16 @@ def nearest_seed_pallas(valid: jnp.ndarray, num_iters: int | None = None,
 @functools.partial(jax.jit, static_argnames=("num_iters", "interpret"))
 def nearest_payload_pallas(valid: jnp.ndarray, payload: jnp.ndarray,
                            num_iters: int | None = None,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           rounds: jnp.ndarray | None = None) -> jnp.ndarray:
     """Pallas payload-carrying JFA: every pixel gets the payload of its
-    nearest valid pixel (core.unwarp.nearest_seed_payload equivalent)."""
-    return _pallas_jfa_call(valid, payload, num_iters, interpret, use_payload=True)
+    nearest valid pixel (core.unwarp.nearest_seed_payload equivalent).
+
+    ``rounds`` (traced int32 scalar) overrides the chain length at runtime —
+    pass a data-derived bound (core.unwarp.jfa_rounds_from_grid) to skip
+    rounds the hole geometry cannot need."""
+    return _pallas_jfa_call(valid, payload, num_iters, interpret,
+                            use_payload=True, rounds=rounds)
 
 
 def nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:

@@ -58,3 +58,47 @@ def test_fast_unwarp_equals_generic_nearest(rng):
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid2))
     fast = np.asarray(unwarp_prediction_fast(pred, tidx, valid2))
     np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_derived_rounds_bound_is_sufficient(rng):
+    """jfa_rounds_from_grid: the grid-geometry bound covers every hole — the
+    reduced dynamic-rounds JFA output equals the full chain (VERDICT r1#3)."""
+    import math
+
+    from fovealseg_tpu.core.unwarp import jfa_rounds_from_grid
+
+    grid = _solver_grid(rng, b=2, n=16)
+    seg_hw = (64, 64)
+    task_idx, valid = inverse_grid_index(grid, seg_hw)
+    rounds = int(jfa_rounds_from_grid(grid, seg_hw))
+    full = max(1, math.ceil(math.log2(max(seg_hw))))
+    assert 2 <= rounds <= full
+
+    # seed-index equality is too strict (equidistant ties may break
+    # differently between chain lengths, as they may vs scipy); the bound is
+    # sufficient iff every pixel's chosen seed is at the true optimal distance
+    got = np.asarray(nearest_seed_jfa(valid, num_iters=rounds))
+    h, w = seg_hw
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    v = np.asarray(valid)
+    for b in range(v.shape[0]):
+        ys, xs_ = np.nonzero(v[b])
+        pts = np.stack([ys, xs_], 1).astype(np.float64)
+        sy, sx = got[b] // w, got[b] % w
+        chosen = np.sqrt((sy - rr) ** 2 + (sx - cc) ** 2)
+        # brute-force optimal distances
+        d2 = ((rr[..., None] - pts[:, 0]) ** 2 + (cc[..., None] - pts[:, 1]) ** 2).min(-1)
+        np.testing.assert_allclose(chosen, np.sqrt(d2), atol=1e-6)
+
+
+def test_pallas_dynamic_rounds_matches_static(rng):
+    """The Pallas kernel honors a traced `rounds` scalar (interpret mode)."""
+    from fovealseg_tpu.ops.pallas_jfa import nearest_payload_pallas
+
+    grid = _solver_grid(rng, b=1, n=16)
+    task_idx, valid = inverse_grid_index(grid, (64, 64))
+    ref = np.asarray(nearest_payload_pallas(valid, task_idx, num_iters=6, interpret=True))
+    dyn = np.asarray(
+        nearest_payload_pallas(valid, task_idx, interpret=True, rounds=jnp.int32(6))
+    )
+    np.testing.assert_array_equal(dyn, ref)
