@@ -18,12 +18,11 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
 
 
-def measure_jax_fps(batch: int = 8, iters: int = 20, warmup: int = 3) -> float:
+def _flagship_setup(batch: int):
     import jax
     import jax.numpy as jnp
 
@@ -45,24 +44,22 @@ def measure_jax_fps(batch: int = 8, iters: int = 20, warmup: int = 3) -> float:
     f = jnp.full((batch, 2), 0.5, jnp.float32)
     shapes = jax.eval_shape(module.init, {"params": jax.random.PRNGKey(0)}, x, f)
     variables = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+    return module, variables, x, f
 
-    # NOTE: this image's TPU tunnel does not synchronize block_until_ready and
-    # has ~30ms fetch RTT, so N forwards are chained inside one jitted
-    # fori_loop (a scalar data dependency serializes them on device) and the
-    # result is fetched once; per-step time amortizes dispatch + RTT away.
-    def chained(v, x, f, n):
-        def body(_, carry):
-            out = module.apply(v, x + carry, f, train=False)["pred"]
-            return jnp.mean(out).astype(x.dtype) * 0.0
 
-        return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, x.dtype))
+def measure_jax_fps(batch: int = 8) -> float:
+    # NOTE: this image's TPU tunnel does not synchronize block_until_ready
+    # and adds a ~30 ms fixed cost to every host-visible call, so executions
+    # are chained inside a jitted fori_loop (scalar-carry serialized) and the
+    # per-step time comes from the DIFFERENCE of two chain lengths — the
+    # fixed cost cancels exactly (benchmarks/timing.py; round-1 divided the
+    # total by N, inflating every number).
+    from benchmarks.timing import time_op
 
-    run = jax.jit(chained, static_argnums=3)
-    float(run(variables, x, f, iters))  # compile + first (untimed) execution
-    t0 = time.perf_counter()
-    float(run(variables, x, f, iters))  # timed: pure execution + one fetch RTT
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    module, variables, x, f = _flagship_setup(batch)
+    dt = time_op(lambda x: module.apply(variables, x, f, train=False)["pred"],
+                 x, n1=5, n2=25)
+    return batch / dt
 
 
 def get_torch_baseline_fps() -> float:
@@ -80,35 +77,17 @@ def get_torch_baseline_fps() -> float:
         return float("nan")
 
 
-def measure_fullres_fps(batch: int = 8, iters: int = 5) -> float:
+def measure_fullres_fps(batch: int = 8) -> float:
     """Full-resolution path: forward + inverse warp + hole fill to 640x640."""
-    import jax
-    import jax.numpy as jnp
+    from benchmarks.timing import time_op
+    from fovealseg_tpu.models.deform_module import DeformSegmentation
 
-    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
-
-    cfg = DeformConfig(
-        task_hw=(80, 80), task_hw_infer=(80, 80), saliency_hw=(80, 80),
-        gaussian_radius=45, num_class=51, arch_encoder="hrnetv2_nodownsp",
+    module, variables, x, f = _flagship_setup(batch)
+    dt = time_op(
+        lambda x: module.apply(variables, x, f, method=DeformSegmentation.infer)["pred_sampled"],
+        x, n1=5, n2=25,
     )
-    module = DeformSegmentation(config=cfg, dtype=jnp.bfloat16)
-    x = jnp.zeros((batch, 640, 640, 3), jnp.float32)
-    f = jnp.full((batch, 2), 0.5, jnp.float32)
-    shapes = jax.eval_shape(module.init, {"params": jax.random.PRNGKey(0)}, x, f)
-    variables = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
-
-    def chained(v, x, f, n):
-        def body(_, carry):
-            out = module.apply(v, x + carry, f, method=DeformSegmentation.infer)
-            return jnp.mean(out["pred_sampled"]).astype(x.dtype) * 0.0
-
-        return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, x.dtype))
-
-    run = jax.jit(chained, static_argnums=3)
-    float(run(variables, x, f, iters))
-    t0 = time.perf_counter()
-    float(run(variables, x, f, iters))
-    return batch * iters / (time.perf_counter() - t0)
+    return batch / dt
 
 
 def main():
