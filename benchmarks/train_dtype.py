@@ -40,6 +40,8 @@ def run(dtype_name: str):
     cfg.TRAIN.saliency_input_size = (80, 80)
     cfg.MODEL.gaussian_radius = 45
     cfg.MODEL.arch_encoder = "hrnetv2_nodownsp"
+    cfg.MODEL.arch_decoder = "c1"
+    cfg.MODEL.fc_dim = 960
     cfg.TRAIN.optim = "adam"
     cfg.TRAIN.lr_encoder = 2e-5
     cfg.TRAIN.lr_decoder = 2e-5
