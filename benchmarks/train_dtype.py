@@ -42,6 +42,7 @@ def run(dtype_name: str):
     cfg.MODEL.arch_encoder = "hrnetv2_nodownsp"
     cfg.MODEL.arch_decoder = "c1"
     cfg.MODEL.fc_dim = 960
+    cfg.DATASET.segm_downsampling_rate = 1
     cfg.TRAIN.optim = "adam"
     cfg.TRAIN.lr_encoder = 2e-5
     cfg.TRAIN.lr_decoder = 2e-5

@@ -37,6 +37,9 @@ def main(argv=None):
     parser.add_argument("--gaze", type=float, nargs=2, default=(0.5, 0.5),
                         help="normalized (row, col) gaze for the foveation")
     parser.add_argument("--num-samples", type=int, default=-1)
+    parser.add_argument("--object-info", default=None,
+                        help="object150_info.csv-style class metadata (optional; "
+                             "generic names are synthesized otherwise)")
     parser.add_argument("--torch-ckpt", default=None)
     parser.add_argument("--torch-epoch", default="last")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
@@ -192,6 +195,16 @@ def main(argv=None):
     if rev_y and inter_rev is not None:
         result["y_reverse_iou"] = miou(inter_rev, union_rev)
         result["y_reverse_acc"] = acc_rev_m / max(n, 1)
+    # per-class report with object-info names (reference eval.py:39,345-350;
+    # names synthesized when the csv asset is absent)
+    from fovealseg_tpu.utils.ade import class_names
+
+    names = class_names(args.object_info, cfg.DATASET.num_class)
+    i_np = np.asarray(inter_sum, np.float64)
+    u_np = np.asarray(union_sum, np.float64)
+    for c in range(cfg.DATASET.num_class):
+        if u_np[c] > 0:
+            log.info("class [%d] %s, IoU: %.4f", c, names[c], i_np[c] / u_np[c])
     log.info("multi-scale eval: %s", json.dumps(result))
     print(json.dumps(result))
     return result

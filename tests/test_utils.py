@@ -112,3 +112,22 @@ def test_observe_io(tmp_path):
     bag.gc()
     assert not hasattr(bag, "t")
     xprint("hello")
+
+
+def test_ade_metadata_surface(tmp_path):
+    """object150_info/color150 stand-ins (reference data assets)."""
+    from fovealseg_tpu.utils.ade import class_names, class_palette, color_encode, load_object_info
+
+    # synthesized fallback
+    names = class_names(None, 5)
+    assert names == [f"class_{i}" for i in range(5)]
+    # csv with the reference schema
+    p = tmp_path / "obj.csv"
+    p.write_text("Idx,Ratio,Train,Val,Stuff,Name\n1,0.15,1000,100,1,wall\n2,0.1,900,90,0,building;edifice\n")
+    rows = load_object_info(str(p))
+    assert rows[0]["name"] == "wall" and rows[1]["name"] == "building"
+    pal = class_palette(51)
+    assert pal.shape == (51, 3) and pal.dtype.name == "uint8"
+    assert (pal[-1] == 0).all()  # background black
+    img = color_encode([[0, 1], [2, 50]], 51)
+    assert img.shape == (2, 2, 3)
