@@ -350,3 +350,91 @@ def test_resnet_zoom_key_coverage_and_forward(variant):
         ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
     assert ours.shape == ref.shape, (ours.shape, ref.shape)
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def _legacy_import(fm, sample, tm):
+    variables = _import_into(fm, sample, "decoder", tm)
+    return variables
+
+
+def test_c1deepsup_parity():
+    """Legacy C1DeepSup decoder (model_utils.py:189-221)."""
+    mu = load_ref_module("models/model_utils.py", "ref_model_utils")
+    tm = mu.C1DeepSup(num_class=7, fc_dim=64).eval()
+    from fovealseg_tpu.models.legacy_decoders import C1DeepSup
+
+    fm = C1DeepSup(num_class=7, fc_dim=64)
+    rng_ = np.random.default_rng(0)
+    c4 = rng_.standard_normal((1, 16, 16, 32)).astype(np.float32)
+    c5 = rng_.standard_normal((1, 8, 8, 64)).astype(np.float32)
+    sample = ([jnp.asarray(c4), jnp.asarray(c5)],)
+    hit, missing = _coverage(fm, sample, tm)
+    assert not missing, missing
+    variables = _legacy_import(fm, sample, tm)
+    ours_x, ours_d = fm.apply(variables, [jnp.asarray(c4), jnp.asarray(c5)])
+    with torch.no_grad():
+        t4 = torch.from_numpy(c4).permute(0, 3, 1, 2)
+        t5 = torch.from_numpy(c5).permute(0, 3, 1, 2)
+        ref_x, ref_d = tm([t4, t5])
+    np.testing.assert_allclose(np.asarray(ours_x), ref_x.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours_d), ref_d.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("arch", ["ppm", "ppm_deepsup"])
+def test_ppm_parity(arch):
+    """Legacy PPM / PPMDeepsup decoders (model_utils.py:312-419)."""
+    mu = load_ref_module("models/model_utils.py", "ref_model_utils")
+    cls = mu.PPM if arch == "ppm" else mu.PPMDeepsup
+    tm = cls(num_class=7, fc_dim=64, pool_scales=(1, 2, 3)).eval()
+    from fovealseg_tpu.models.legacy_decoders import PPM, PPMDeepsup
+
+    fcls = PPM if arch == "ppm" else PPMDeepsup
+    fm = fcls(num_class=7, fc_dim=64, pool_scales=(1, 2, 3))
+    rng_ = np.random.default_rng(1)
+    c4 = rng_.standard_normal((1, 12, 12, 32)).astype(np.float32)
+    c5 = rng_.standard_normal((1, 6, 6, 64)).astype(np.float32)
+    sample = ([jnp.asarray(c4), jnp.asarray(c5)],)
+    hit, missing = _coverage(fm, sample, tm)
+    assert not missing, missing
+    variables = _legacy_import(fm, sample, tm)
+    ours = fm.apply(variables, [jnp.asarray(c4), jnp.asarray(c5)])
+    with torch.no_grad():
+        t4 = torch.from_numpy(c4).permute(0, 3, 1, 2)
+        t5 = torch.from_numpy(c5).permute(0, 3, 1, 2)
+        ref = tm([t4, t5])
+    if arch == "ppm":
+        np.testing.assert_allclose(np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(),
+                                   rtol=1e-4, atol=1e-4)
+    else:
+        np.testing.assert_allclose(np.asarray(ours[0]), ref[0].permute(0, 2, 3, 1).numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ours[1]), ref[1].permute(0, 2, 3, 1).numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_upernet_parity():
+    """Legacy UPerNet decoder (model_utils.py:422-507)."""
+    mu = load_ref_module("models/model_utils.py", "ref_model_utils")
+    tm = mu.UPerNet(num_class=7, fc_dim=64, pool_scales=(1, 2),
+                    fpn_inplanes=(16, 32, 64), fpn_dim=24).eval()
+    from fovealseg_tpu.models.legacy_decoders import UPerNet
+
+    fm = UPerNet(num_class=7, fc_dim=64, pool_scales=(1, 2),
+                 fpn_inplanes=(16, 32, 64), fpn_dim=24)
+    rng_ = np.random.default_rng(2)
+    c2 = rng_.standard_normal((1, 24, 24, 16)).astype(np.float32)
+    c3 = rng_.standard_normal((1, 12, 12, 32)).astype(np.float32)
+    c5 = rng_.standard_normal((1, 6, 6, 64)).astype(np.float32)
+    feats = [jnp.asarray(c2), jnp.asarray(c3), jnp.asarray(c5)]
+    sample = (feats,)
+    hit, missing = _coverage(fm, sample, tm)
+    assert not missing, missing
+    variables = _legacy_import(fm, sample, tm)
+    ours = fm.apply(variables, feats)
+    with torch.no_grad():
+        ts = [torch.from_numpy(np.asarray(a)).permute(0, 3, 1, 2) for a in (c2, c3, c5)]
+        ref = tm(ts)
+    np.testing.assert_allclose(np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-4)
