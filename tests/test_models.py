@@ -137,3 +137,45 @@ def test_infer_y_sampled_reverse_is_integer_labels():
     allowed = set(np.unique(np.asarray(out["y_sampled"])).tolist())
     assert got <= allowed, (got, allowed)
     assert got <= {0.0, 3.0, 17.0, 50.0}, got
+
+
+def test_segmentation_module_deepsup():
+    """Non-deform SegmentationModule with a deep-supervision decoder: tuple
+    output + deep_sup_scale loss combination (models/models.py:1097-1144)."""
+    import jax
+
+    from fovealseg_tpu.models.deform_module import DeformConfig
+    from fovealseg_tpu.models.legacy_decoders import C1DeepSup
+    from fovealseg_tpu.models.segmentation_module import SegmentationModule, deep_sup_loss
+
+    cfg = DeformConfig(arch_encoder="hrnetv2_nodownsp_tiny", fc_dim=960, num_class=5)
+    # tiny HRNet emits a single 960-ch level; C1DeepSup's deepsup head reads
+    # conv_out[-2], so feed the same features twice via a wrapper list
+    dec = C1DeepSup(num_class=5, fc_dim=960)
+
+    class TwoLevel(SegmentationModule):
+        def __call__(self, x, train: bool = False):
+            feats = self.encoder(x, train=train)
+            # deepsup path wants [conv4 (fc_dim//2 ch), conv5]
+            conv4 = feats[-1][..., : self.config.fc_dim // 2]
+            return self.decoder([conv4, feats[-1]], train=train)
+
+    m = TwoLevel(config=cfg, decoder_module=dec)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    assert isinstance(out, tuple) and len(out) == 2
+    assert out[0].shape == (1, 16, 16, 5) and out[1].shape == (1, 16, 16, 5)
+
+    label = jnp.zeros((1, 16, 16), jnp.int32)
+
+    def crit(pred, y):
+        return -jnp.mean(jnp.take_along_axis(pred, y[..., None], axis=-1))
+
+    total = deep_sup_loss(crit, out, label, 0.4)
+    expect = crit(out[0], label) + 0.4 * crit(out[1], label)
+    np.testing.assert_allclose(float(total), float(expect), rtol=1e-6)
+
+    probs = m.apply(variables, x, method=TwoLevel.infer)
+    assert probs.shape == (1, 16, 16, 5)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
