@@ -136,3 +136,115 @@ class DatasetCityscapes:
         for i in range(0, len(order) - batch_size + 1, batch_size):
             samples = [self[int(j)] for j in order[i : i + batch_size]]
             yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+# ---------------------------------------------------------------------------
+# b4/b5 "rgblabel" variant: decode the color-rendered gtFine label PNG into a
+# 20-class id mask (b4_preprocess_cityscapes_rgblabel.py:48-70 labels_valid;
+# b5_preprocess_cityscapes_rgblabel_mask.py:191-236 make_a_sample).
+# Constant data table from the reference (the custom id column, NOT the
+# cityscapes trainId): (name, custom_id, color).
+RGBLABEL_ROWS = [
+    ("unlabeled", 0, (0, 0, 0)),
+    ("motorcycle", 1, (0, 0, 230)),
+    ("rider", 2, (255, 0, 0)),
+    ("traffic light", 3, (250, 170, 30)),
+    ("bus", 4, (0, 60, 100)),
+    ("train", 5, (0, 80, 100)),
+    ("truck", 6, (0, 0, 70)),
+    ("bicycle", 7, (119, 11, 32)),
+    ("traffic sign", 8, (220, 220, 0)),
+    ("wall", 9, (102, 102, 156)),
+    ("fence", 10, (190, 153, 153)),
+    ("terrain", 11, (152, 251, 152)),
+    ("person", 12, (220, 20, 60)),
+    ("pole", 13, (153, 153, 153)),
+    ("sky", 14, (70, 130, 180)),
+    ("sidewalk", 15, (244, 35, 232)),
+    ("car", 16, (0, 0, 142)),
+    ("vegetation", 17, (107, 142, 35)),
+    ("building", 18, (70, 70, 70)),
+    ("road", 19, (128, 64, 128)),
+]
+
+
+def decode_rgb_label(label_rgb: np.ndarray) -> np.ndarray:
+    """uint8 color label image [H, W, 3] -> uint8 class-id mask [H, W].
+
+    Exact color matching against the 19 valid colors (unlabeled/unknown
+    colors stay 0), replicating the b5 per-color equality loop
+    (b5_preprocess_cityscapes_rgblabel_mask.py:205-223)."""
+    rgb = np.asarray(label_rgb, np.uint8)
+    out = np.zeros(rgb.shape[:2], np.uint8)
+    for _, cid, color in RGBLABEL_ROWS[1:]:
+        out[(rgb == np.asarray(color, np.uint8)).all(-1)] = cid
+    return out
+
+
+@dataclass
+class PreprocessCityscapesRGBLabel:
+    """b5 cooker: center-crop the frame + color label to ``crop_hw``, decode
+    the label colors, and write ``{itemkey}_{C}x{H}x{W}.uint8.{X,Y}.npy``
+    pairs with the reference's filename grammar (itemkey underscores become
+    dashes; .npy replaces torch .pt)."""
+
+    x_dir: str  # leftImg8bit frames
+    y_dir: str  # gtFine *_gtFine_color.png renders
+    out_dir: str
+    crop_hw: tuple = (1024, 2048)
+
+    def cook(self, max_samples: int = -1) -> list[str]:
+        from PIL import Image
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        key2x = {}
+        for root, _, files in os.walk(self.x_dir):
+            for f in files:
+                if f.endswith(".png") and "_leftImg8bit" in f:
+                    key2x[f.split("_leftImg8bit")[0]] = os.path.join(root, f)
+        written = []
+        for root, _, files in os.walk(self.y_dir):
+            for f in sorted(files):
+                if not f.endswith("_gtFine_color.png"):
+                    continue
+                key = f.split("_gtFine_color")[0]
+                if key not in key2x:
+                    continue
+                x = np.asarray(Image.open(key2x[key]).convert("RGB"), np.uint8)
+                y_rgb = np.asarray(Image.open(os.path.join(root, f)).convert("RGB"), np.uint8)
+                ch, cw = self.crop_hw
+                hs = max(0, x.shape[0] // 2 - ch // 2)
+                ws = max(0, x.shape[1] // 2 - cw // 2)
+                x = x[hs:hs + ch, ws:ws + cw]
+                y = decode_rgb_label(y_rgb[hs:hs + ch, ws:ws + cw])
+                itemkey = key.replace("_", "-")
+                stem_y = f"{itemkey}_1x{y.shape[0]}x{y.shape[1]}.uint8.Y.npy"
+                stem_x = f"{itemkey}_3x{x.shape[0]}x{x.shape[1]}.uint8.X.npy"
+                np.save(os.path.join(self.out_dir, stem_y), y)
+                np.save(os.path.join(self.out_dir, stem_x), x)
+                written.append(stem_y)
+                if 0 < max_samples <= len(written):
+                    return written
+        return written
+
+
+class DatasetCityscapesRGBLabel:
+    """Runtime twin of DatasetCityScapesRGBLabelMask (b5:261-333): yields
+    (X float32 [H, W, 3] in [0,1], Y int32 [H, W] with ids 0..19)."""
+
+    NUM_CLASS = len(RGBLABEL_ROWS)  # 20 (id 0 = unlabeled)
+
+    def __init__(self, cook_dir: str):
+        self.cook_dir = cook_dir
+        self.names = sorted(n for n in os.listdir(cook_dir) if n.endswith(".Y.npy"))
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, idx: int) -> dict:
+        fname_y = self.names[idx]
+        itemkey, ixhxw = fname_y.split(".")[0].split("_")
+        fname_x = f"{itemkey}_3x{ixhxw[2:]}.uint8.X.npy"
+        y = np.load(os.path.join(self.cook_dir, fname_y)).astype(np.int32)
+        x = np.load(os.path.join(self.cook_dir, fname_x)).astype(np.float32) / 255.0
+        return {"img_data": x, "seg_label": y}

@@ -245,3 +245,40 @@ def test_dead_reference_options_warn(caplog):
         hit = warn_dead_options(cfg)
     assert set(hit) == {"multi_scale_aug", "mirror_padding"}
     assert "dead config key" in caplog.text
+
+
+def test_cityscapes_rgblabel_cook_and_runtime(tmp_path):
+    """b5 rgblabel variant: color-label decode, center crop, filename
+    grammar, runtime round-trip (b5_preprocess_cityscapes_rgblabel_mask.py)."""
+    from PIL import Image
+
+    from fovealseg_tpu.data.cityscapes import (
+        RGBLABEL_ROWS,
+        DatasetCityscapesRGBLabel,
+        PreprocessCityscapesRGBLabel,
+        decode_rgb_label,
+    )
+
+    xd = tmp_path / "X"; yd = tmp_path / "Y"; out = tmp_path / "cook"
+    xd.mkdir(); yd.mkdir()
+    h, w = 16, 32
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, :10] = RGBLABEL_ROWS[19][2]  # road
+    rgb[:, 10:20] = RGBLABEL_ROWS[16][2]  # car
+    rgb[:, 20:] = (7, 7, 7)  # unknown color -> unlabeled 0
+    Image.fromarray(np.full((h, w, 3), 100, np.uint8)).save(xd / "aachen_000000_000019_leftImg8bit.png")
+    Image.fromarray(rgb).save(yd / "aachen_000000_000019_gtFine_color.png")
+
+    m = decode_rgb_label(rgb)
+    assert (m[:, :10] == 19).all() and (m[:, 10:20] == 16).all() and (m[:, 20:] == 0).all()
+
+    cooker = PreprocessCityscapesRGBLabel(str(xd), str(yd), str(out), crop_hw=(8, 16))
+    names = cooker.cook()
+    assert names == ["aachen-000000-000019_1x8x16.uint8.Y.npy"]
+
+    ds = DatasetCityscapesRGBLabel(str(out))
+    assert len(ds) == 1 and ds.NUM_CLASS == 20
+    s = ds[0]
+    assert s["img_data"].shape == (8, 16, 3) and s["img_data"].max() <= 1.0
+    assert s["seg_label"].shape == (8, 16)
+    assert set(np.unique(s["seg_label"])) <= {0, 16, 19}
