@@ -195,7 +195,11 @@ def get_default_cfg() -> CfgNode:
 
     # ------------------------------------------------------------------ TPU (new)
     _C.TPU = CfgNode()
-    _C.TPU.compute_dtype = "float32"  # "bfloat16" for MXU-friendly training
+    _C.TPU.compute_dtype = "bfloat16"  # conv/BN compute dtype (params stay
+    # f32). Validated on-chip: the 60-step flagship overfit converges at
+    # least as well as float32 (loss 4.57->2.10 vs 4.56->2.75 @60) at +8%
+    # samples/s — benchmarks/train_dtype.py + PERF.md training table.
+    # Set "float32" for bit-parity debugging.
     _C.TPU.sync_bn = True  # cross-replica BN stats (flag-gated parity: the
     # reference's DDP ranks do NOT sync BN — see SURVEY.md §2.5)
     _C.TPU.data_axis = "data"

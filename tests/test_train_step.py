@@ -80,3 +80,53 @@ def test_stage_lr_schedule_scale_by_iter(tiny_cfg):
     assert np.isclose(float(sched.lr_class(jnp.asarray(n - 1))), 0.1)
     assert np.isclose(float(sched.lr_class(jnp.asarray(n))), 0.01)
     assert np.isclose(float(sched.lr_zoom(jnp.asarray(2 * n))), 0.001)
+
+
+def test_bf16_compute_convergence_matches_f32():
+    """TPU.compute_dtype=bfloat16 (the new default) optimizes the joint loss
+    comparably to float32 on a fixed tiny batch (the on-chip validation is
+    benchmarks/train_dtype.py; this is the CI-scale guard)."""
+    import jax
+
+    from fovealseg_tpu.configs import get_default_cfg
+    from fovealseg_tpu.data.synthetic import make_batch
+    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+    from fovealseg_tpu.train.optim import create_optimizer
+    from fovealseg_tpu.train.step import LossConfig, init_state, make_train_step
+
+    cfg = get_default_cfg()
+    cfg.DATASET.num_class = 51
+    cfg.DATASET.segm_downsampling_rate = 1
+    cfg.TRAIN.task_input_size = (16, 16)
+    cfg.TRAIN.saliency_input_size = (16, 16)
+    cfg.TRAIN.optim = "adam"
+    cfg.TRAIN.lr_encoder = 1e-3
+    cfg.TRAIN.lr_decoder = 1e-3
+    cfg.MODEL.gaussian_radius = 5
+    cfg.MODEL.arch_encoder = "hrnetv2_nodownsp_tiny"
+    cfg.MODEL.arch_decoder = "c1"
+    cfg.MODEL.fc_dim = 960
+
+    rng = np.random.default_rng(0)
+    batch_np = make_batch(rng, batch=2, canvas=64)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    finals = {}
+    for name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
+        dc = DeformConfig.from_cfg(cfg)
+        module = DeformSegmentation(config=dc, dtype=dtype)
+        tx = create_optimizer(cfg)
+        state = init_state(module, tx, jax.random.PRNGKey(0), batch)
+        step = jax.jit(make_train_step(module, tx, LossConfig.from_cfg(cfg)))
+        losses = []
+        # fixed dropout key -> a deterministic objective that must decrease
+        for _ in range(15):
+            state, mets = step(state, batch, jax.random.PRNGKey(7))
+            losses.append(float(mets["loss"]))
+        finals[name] = losses
+
+    for name, losses in finals.items():
+        assert np.isfinite(losses[-1]), (name, losses[-1])
+        assert min(losses[-5:]) < losses[0], f"{name} loss flat: {losses[0]} -> {losses[-5:]}"
+    # the two dtypes track each other on this protocol
+    assert abs(finals["bfloat16"][-1] - finals["float32"][-1]) < 0.5 * finals["float32"][0]
