@@ -111,3 +111,83 @@ def make_parallel_eval_step(module, lcfg, mesh: Mesh, axis: str = "data"):
 def replicate_state(state, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(state, sharding)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (data, model) mesh: GSPMD auto-parallel training step.
+#
+# The reference is data-parallel only (SURVEY.md §2.5) — the shard_map DP
+# path above is the parity mapping. This section is the TPU-native scaling
+# extension beyond it: a ``Mesh((dp, mp), ('data', 'model'))`` where the wide
+# conv kernels (the 960-channel head, HRNet branch convs) are sharded over
+# 'model' and the batch over 'data'; the step is a plain ``jit`` with
+# ``in_shardings`` annotations and XLA inserts every collective
+# (all-gather/reduce-scatter for the sharded weights, all-reduce for the
+# data-parallel gradients, global batch stats for BN — so cross-replica
+# sync-BN is automatic here, no axis_name needed).
+
+
+def make_mesh_2d(dp: Optional[int] = None, mp: int = 1,
+                 axes: tuple = ("data", "model")) -> Mesh:
+    devices = jax.devices()
+    n = len(devices)
+    dp = dp or max(1, n // mp)
+    assert dp * mp <= n, f"mesh {dp}x{mp} needs {dp * mp} devices, have {n}"
+    return Mesh(np.array(devices[: dp * mp]).reshape(dp, mp), axes)
+
+
+def _model_leaf_spec(leaf, mp: int, min_channels: int = 256) -> P:
+    """Shard wide parameter tensors over 'model' by output channel; leave
+    everything else replicated. Applies uniformly to params and to
+    optimizer-state leaves of the same shape (adam mu/nu)."""
+    shape = getattr(leaf, "shape", ())
+    if len(shape) >= 2 and shape[-1] >= min_channels and shape[-1] % mp == 0:
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    return P()
+
+
+def state_shardings_2d(state, mesh: Mesh, min_channels: int = 256):
+    """TrainState -> matching tree of NamedShardings for the 2-D mesh."""
+    mp = mesh.shape["model"]
+
+    def to_sharding(leaf):
+        return NamedSharding(mesh, _model_leaf_spec(leaf, mp, min_channels))
+
+    return jax.tree.map(to_sharding, state)
+
+
+def shard_state_2d(state, mesh: Mesh, min_channels: int = 256):
+    return jax.device_put(state, state_shardings_2d(state, mesh, min_channels))
+
+
+def make_gspmd_train_step(module, tx, lcfg, mesh: Mesh, state,
+                          min_channels: int = 256):
+    """2-D-mesh training step: batch over 'data', wide weights over 'model'.
+
+    ``state`` is a template used to derive the sharding tree. BN stats sync
+    and gradient reduction are implicit (GSPMD global reductions), so the
+    inner step runs WITHOUT an axis_name.
+    """
+    from fovealseg_tpu.train.step import make_train_step
+
+    inner = make_train_step(module, tx, lcfg, axis_name=None)
+    state_sh = state_shardings_2d(state, mesh, min_channels)
+    batch_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    jitted: dict = {}
+
+    def call(state, batch: dict, rng):
+        key = frozenset(batch.keys())
+        if key not in jitted:
+            b_sh = {k: (rep if k in _REPLICATED_KEYS or getattr(v, "ndim", 1) == 0
+                        else batch_sh) for k, v in batch.items()}
+            jitted[key] = jax.jit(
+                inner,
+                in_shardings=(state_sh, b_sh, rep),
+                out_shardings=(state_sh, rep),
+                donate_argnums=(0,),
+            )
+        return jitted[key](state, batch, rng)
+
+    return call

@@ -101,3 +101,51 @@ def test_sharded_eval_matches_single_device(tiny_cfg, rng):
 
     for k in ("acc", "acc_bin_fg", "acc_cls_fbg", "acc_bin_fbg", "focal_loss"):
         np.testing.assert_allclose(float(pm[k]), float(sm[k]), rtol=1e-4, err_msg=k)
+
+
+def test_gspmd_2d_mesh_matches_single_device(tiny_cfg, rng):
+    """2-D (data, model) mesh GSPMD step: wide conv kernels sharded over
+    'model', batch over 'data'; one step must match the single-device step
+    on the same global batch (GSPMD reductions are global, so batch-grouped
+    loss terms agree exactly, unlike the per-replica shard_map DP path)."""
+    from fovealseg_tpu.parallel.mesh import (
+        make_gspmd_train_step,
+        make_mesh_2d,
+        shard_state_2d,
+        state_shardings_2d,
+    )
+
+    mesh = make_mesh_2d(dp=4, mp=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    dc = DeformConfig.from_cfg(tiny_cfg)
+    module = DeformSegmentation(config=dc)  # no axis_name: reductions implicit
+    tx = create_optimizer(tiny_cfg)
+    lcfg = LossConfig.from_cfg(tiny_cfg)
+
+    batch_np = make_batch(rng, batch=8, canvas=64)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state = init_state(module, tx, jax.random.PRNGKey(0), batch)
+
+    # single-device reference step (same rng -> same dropout pattern)
+    sstep = jax.jit(make_train_step(module, tx, lcfg))
+    s_ref, m_ref = sstep(
+        jax.tree.map(jnp.copy, state), batch, jax.random.PRNGKey(1)
+    )
+
+    # some wide kernels actually shard
+    shardings = state_shardings_2d(state, mesh)
+    specs = [s.spec for s in jax.tree.leaves(shardings)]
+    assert any("model" in str(sp) for sp in specs), "nothing sharded over model"
+
+    dstate = shard_state_2d(state, mesh)
+    gstep = make_gspmd_train_step(module, tx, lcfg, mesh, dstate)
+    d_new, m_2d = gstep(dstate, batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m_2d["loss"]), float(m_ref["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m_2d["acc"]), float(m_ref["acc"]), rtol=1e-4)
+    # updated params agree with the single-device update
+    la = jax.tree.leaves(d_new.params)
+    lb = jax.tree.leaves(s_ref.params)
+    for a, b in zip(la[:5], lb[:5]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
