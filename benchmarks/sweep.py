@@ -1,9 +1,6 @@
 """On-chip perf sweep: inference fps vs batch size + full-res infer timing.
 
-Timing methodology: this image's TPU tunnel does not honor
-``block_until_ready`` and has ~30 ms fetch RTT, so N executions are chained
-inside one jitted ``fori_loop`` (scalar data dependency serializes them on
-device) and timed via a second call of the already-compiled program.
+Timing: RTT-corrected differential chaining (benchmarks/timing.py).
 """
 
 import json
@@ -30,19 +27,10 @@ def flagship(dtype=jnp.bfloat16):
     return DeformSegmentation(config=cfg, dtype=dtype)
 
 
-def time_chained(apply_fn, variables, x, f, iters=10):
-    def chained(v, x, f, n):
-        def body(_, carry):
-            out = apply_fn(v, x + carry, f)
-            return jnp.mean(out).astype(x.dtype) * 0.0
+def time_chained(apply_fn, variables, x, f, iters=None):
+    from benchmarks.timing import time_op
 
-        return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, x.dtype))
-
-    run = jax.jit(chained, static_argnums=3)
-    float(run(variables, x, f, iters))  # compile + warm execution
-    t0 = time.perf_counter()
-    float(run(variables, x, f, iters))
-    return (time.perf_counter() - t0) / iters
+    return time_op(lambda x: apply_fn(variables, x, f), x, n1=5, n2=25)
 
 
 def main():
