@@ -65,6 +65,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("fovealseg.eval_odgt")
     warn_dead_options(cfg, log)
+    if cfg.VAL.ensemble or cfg.VAL.approx_pred_Fxlr_by_ensemble:
+        raise NotImplementedError(
+            "VAL.ensemble / VAL.approx_pred_Fxlr_by_ensemble are not "
+            "implemented (untested fixed-patch ensemble in the reference)"
+        )
 
     ds = ValDataset(
         root_dataset=cfg.DATASET.root_dataset,
