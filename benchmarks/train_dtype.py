@@ -61,10 +61,12 @@ def run(dtype_name: str):
     state = init_state(module, tx, jax.random.PRNGKey(0), batch)
     step = make_train_step(module, tx, lcfg)
 
+    base_key = jax.random.key(1, impl=cfg.TPU.dropout_rng_impl)
+
     def n_steps(state, n):
         def body(carry, i):
             st, _ = carry
-            st, mets = step(st, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+            st, mets = step(st, batch, jax.random.fold_in(base_key, i))
             return (st, mets["loss"]), mets["loss"]
 
         (state, _), losses = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(n))

@@ -134,7 +134,9 @@ def fit(
     device trace of the first training epoch (SURVEY.md §5 tracing)."""
     from fovealseg_tpu.utils.observe import SummaryWriter
 
-    rng = rng if rng is not None else jax.random.PRNGKey(cfg.TRAIN.seed)
+    if rng is None:
+        impl = getattr(cfg.TPU, "dropout_rng_impl", "threefry") or "threefry"
+        rng = jax.random.key(cfg.TRAIN.seed, impl=impl)
     ckpt_dir = cfg.DIR
     os.makedirs(ckpt_dir, exist_ok=True)
     history: list[dict] = []

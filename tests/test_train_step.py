@@ -130,3 +130,38 @@ def test_bf16_compute_convergence_matches_f32():
         assert min(losses[-5:]) < losses[0], f"{name} loss flat: {losses[0]} -> {losses[-5:]}"
     # the two dtypes track each other on this protocol
     assert abs(finals["bfloat16"][-1] - finals["float32"][-1]) < 0.5 * finals["float32"][0]
+
+
+def test_dropout_rng_impl_rbg_step():
+    """TPU.dropout_rng_impl=rbg (default): the train step accepts typed rbg
+    keys (threefry mask generation costs ~106 ms of the 198 ms b16 step
+    on-chip; rbg is the TPU-fast generator)."""
+    import jax
+
+    from fovealseg_tpu.configs import get_default_cfg
+    from fovealseg_tpu.data.synthetic import make_batch
+    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+    from fovealseg_tpu.train.optim import create_optimizer
+    from fovealseg_tpu.train.step import LossConfig, init_state, make_train_step
+
+    cfg = get_default_cfg()
+    assert cfg.TPU.dropout_rng_impl == "rbg"
+    cfg.DATASET.num_class = 51
+    cfg.DATASET.segm_downsampling_rate = 1
+    cfg.TRAIN.task_input_size = (16, 16)
+    cfg.TRAIN.saliency_input_size = (16, 16)
+    cfg.TRAIN.optim = "adam"
+    cfg.MODEL.gaussian_radius = 5
+    cfg.MODEL.arch_encoder = "hrnetv2_nodownsp_tiny"
+    cfg.MODEL.arch_decoder = "c1"
+    cfg.MODEL.fc_dim = 960
+
+    dc = DeformConfig.from_cfg(cfg)
+    module = DeformSegmentation(config=dc)
+    tx = create_optimizer(cfg)
+    rng = np.random.default_rng(3)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, batch=2, canvas=64).items()}
+    state = init_state(module, tx, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(module, tx, LossConfig.from_cfg(cfg)))
+    _, mets = step(state, batch, jax.random.key(1, impl=cfg.TPU.dropout_rng_impl))
+    assert np.isfinite(float(mets["loss"]))
