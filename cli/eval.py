@@ -59,7 +59,8 @@ def main(argv=None):
         )
 
     dc = DeformConfig.from_cfg(cfg)
-    module = DeformSegmentation(config=dc)
+    dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else jnp.float32
+    module = DeformSegmentation(config=dc, dtype=dtype)
     tx = create_optimizer(cfg)
     bg = cfg.DATASET.num_class - 1
 
