@@ -8,7 +8,7 @@ decoder — to locate the MFU gap (VERDICT r1: ~65 TF/s vs 278 TF/s roofline).
 import json
 import os
 import sys
-import time
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -51,7 +51,7 @@ def main():
     }
     results = {}
     for name, fn in stages.items():
-        dt = time_chained(fn, variables, x, f, iters=10)
+        dt = time_chained(fn, variables, x, f)
         results[name] = dt * 1e3
         print(f"{name}: {dt*1e3:.2f} ms/batch{BATCH}", flush=True)
 
@@ -62,10 +62,10 @@ def main():
     def dec_fn(v, a, b):
         return module.apply(v, a, method=lambda m, t: m.decoder([t], train=False))
 
-    dt = time_chained(enc_fn, variables, x_sampled, f, iters=10)
+    dt = time_chained(enc_fn, variables, x_sampled, f)
     results["encoder"] = dt * 1e3
     print(f"encoder: {dt*1e3:.2f} ms/batch{BATCH}", flush=True)
-    dt = time_chained(dec_fn, variables, feat0, f, iters=10)
+    dt = time_chained(dec_fn, variables, feat0, f)
     results["decoder"] = dt * 1e3
     print(f"decoder: {dt*1e3:.2f} ms/batch{BATCH}", flush=True)
 

@@ -6,7 +6,6 @@ Timing: RTT-corrected differential chaining (benchmarks/timing.py).
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,7 +26,7 @@ def flagship(dtype=jnp.bfloat16):
     return DeformSegmentation(config=cfg, dtype=dtype)
 
 
-def time_chained(apply_fn, variables, x, f, iters=None):
+def time_chained(apply_fn, variables, x, f):
     from benchmarks.timing import time_op
 
     return time_op(lambda x: apply_fn(variables, x, f), x, n1=5, n2=25)

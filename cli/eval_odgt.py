@@ -147,8 +147,10 @@ def main(argv=None):
     for idx in range(n_samples):
         rec = ds[idx]
         seg = np.asarray(rec["seg_label"][0], np.int64)  # [H, W], -1 = ignore
-        if ignore_index is not None:
-            seg = np.where(seg == ignore_index, -1, seg)
+        # the reference applies ignore_index only to intersectionAndUnion
+        # (eval.py:225-231); accuracy() counts every label >= 0 pixel
+        # (eval.py:224, utils.py accuracy) — keep two views of the label
+        seg_iou = np.where(seg == ignore_index, -1, seg) if ignore_index is not None else seg
         seg_hw = (seg.shape[0], seg.shape[1])
         y = jnp.asarray(seg[None])
         scores = None
@@ -159,9 +161,10 @@ def main(argv=None):
             scores = s / len(rec["img_data"]) if scores is None else scores + s / len(rec["img_data"])
         pred = np.argmax(scores[0], axis=-1)
         seg_j = jnp.asarray(seg)
+        seg_iou_j = jnp.asarray(seg_iou)
         acc, _ = M.accuracy(jnp.asarray(pred), seg_j)
         acc_m += float(acc)
-        i1, u1 = M.intersection_and_union(jnp.asarray(pred), seg_j, cfg.DATASET.num_class)
+        i1, u1 = M.intersection_and_union(jnp.asarray(pred), seg_iou_j, cfg.DATASET.num_class)
         inter_sum = i1 if inter_sum is None else inter_sum + i1
         union_sum = u1 if union_sum is None else union_sum + u1
 
@@ -178,7 +181,7 @@ def main(argv=None):
             yr = np.asarray(out["y_sampled_reverse"], np.int64)[0]
             acc_r, _ = M.accuracy(jnp.asarray(yr), seg_j)
             acc_rev_m += float(acc_r)
-            i3, u3 = M.intersection_and_union(jnp.asarray(yr), seg_j, cfg.DATASET.num_class)
+            i3, u3 = M.intersection_and_union(jnp.asarray(yr), seg_iou_j, cfg.DATASET.num_class)
             inter_rev = i3 if inter_rev is None else inter_rev + i3
             union_rev = u3 if union_rev is None else union_rev + u3
         n += 1

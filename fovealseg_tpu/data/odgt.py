@@ -190,34 +190,44 @@ class TrainDataset(OdgtDataset):
     def _well_represented(self, idx: int) -> bool:
         """DATASET.gt_gradient_rm_under_repre (dataset.py:322-335): for
         binary tasks, require the foreground (last) class to exceed the
-        configured fraction of pixels."""
-        rec = self.samples[idx]
-        from PIL import Image
+        configured fraction of pixels. Memoized — one label decode per
+        record per dataset lifetime."""
+        cache = getattr(self, "_repre_cache", None)
+        if cache is None:
+            cache = self._repre_cache = {}
+        if idx not in cache:
+            rec = self.samples[idx]
+            from PIL import Image
 
-        segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
-        s = self.segm_transform(np.asarray(segm))
-        hist, _ = np.histogram(s, bins=self.num_class, range=(0, self.num_class - 1))
-        total = hist.sum()
-        return total > 0 and (hist[-1] / total) > self.gt_gradient_rm_under_repre
+            segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
+            s = self.segm_transform(np.asarray(segm))
+            hist, _ = np.histogram(s, bins=self.num_class, range=(0, self.num_class - 1))
+            total = hist.sum()
+            cache[idx] = bool(total > 0 and (hist[-1] / total) > self.gt_gradient_rm_under_repre)
+        return cache[idx]
 
     def _sample_stream(self, order, rng):
         """Yields sample indices honoring repeat_sample (each record is drawn
         ``repeat_sample`` times before advancing, dataset.py:313-367) and
-        gt_gradient_rm_under_repre (scan forward to a well-represented
-        sample, dataset.py:322-335)."""
+        gt_gradient_rm_under_repre (scan forward, wrapping, to the next
+        well-represented sample, dataset.py:322-335). Bounded: one epoch
+        emits exactly len(order) draws (x repeat_sample); if no sample
+        passes the filter the remaining draws fall back to the unfiltered
+        record instead of spinning (the reference would loop forever there)."""
         filter_on = self.gt_gradient_rm_under_repre > 0 and self.num_class == 2
-        pos = 0
-        while pos < len(order):
-            idx = order[pos]
+        n = len(order)
+        scan = 0  # persistent scan pointer (the reference's cur_idx)
+        for draw in range(n):
+            idx = order[draw]
             if filter_on:
-                scanned = 0
-                while not self._well_represented(order[pos]) and scanned < len(order):
-                    pos = (pos + 1) % len(order)
-                    scanned += 1
-                idx = order[pos]
+                for tries in range(n):
+                    cand = order[(scan + tries) % n]
+                    if self._well_represented(cand):
+                        idx = cand
+                        scan = (scan + tries + 1) % n
+                        break
             for _ in range(max(1, self.repeat_sample)):
                 yield idx
-            pos += 1
 
     def batches(self, batch_per_gpu: int, seed: int = 0):
         rng = random.Random(seed)

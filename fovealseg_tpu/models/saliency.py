@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from fovealseg_tpu.models.layers import batch_norm, conv2d, relu6
@@ -52,16 +53,35 @@ class CompressNet(nn.Module):
         return conv2d(1, 1, 1, 0, name="conv_last", dtype=self.dtype)(x)
 
 
+class _BatchStatsNorm(nn.Module):
+    """torch ``BatchNorm2d(track_running_stats=False)``: normalize with the
+    CURRENT batch statistics in both train and eval, learned scale/bias, and
+    NO running-stats collection (so plain ``apply`` without mutable
+    collections works on every eval path)."""
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(self.dtype)
+
+
 def _zoom_bn(name: str, axis_name, train: bool, dtype, nonsyn: bool):
     """BN flavor selector: the *_nonsyn variants use torch BatchNorm2d with
     ``track_running_stats=False`` (saliency_network.py:218,269-282), which
-    normalizes with BATCH statistics even in eval — modeled as
-    use_running_average=False always (and no stats collected)."""
+    normalizes with BATCH statistics even in eval — modeled as a stats-free
+    norm module (no batch_stats collection, eval-safe)."""
     if nonsyn:
-        return nn.BatchNorm(
-            use_running_average=False,
-            momentum=0.9, epsilon=1e-5, dtype=dtype, name=name,
-        )
+        return _BatchStatsNorm(dtype=dtype, name=name)
     return batch_norm(name, axis_name, train, dtype)
 
 

@@ -282,3 +282,32 @@ def test_cityscapes_rgblabel_cook_and_runtime(tmp_path):
     assert s["img_data"].shape == (8, 16, 3) and s["img_data"].max() <= 1.0
     assert s["seg_label"].shape == (8, 16)
     assert set(np.unique(s["seg_label"])) <= {0, 16, 19}
+
+
+def test_odgt_gt_gradient_filter_terminates_with_trailing_bad(tmp_path, rng):
+    """Regression: an under-represented sample at the END of the shuffled
+    order must not wrap the scan into an infinite stream (round-2 review);
+    one epoch emits exactly len(order) draws."""
+    from PIL import Image
+
+    recs = []
+    for i in range(3):
+        img = Image.fromarray((rng.uniform(0, 255, (16, 16, 3))).astype(np.uint8))
+        seg = np.full((16, 16), 2, np.uint8)
+        if i == 2:  # LAST sample is under-represented
+            seg[:] = 1
+        img.save(tmp_path / f"im{i}.png")
+        Image.fromarray(seg).save(tmp_path / f"seg{i}.png")
+        recs.append({"fpath_img": f"im{i}.png", "fpath_segm": f"seg{i}.png",
+                     "width": 16, "height": 16})
+    odgt = tmp_path / "d.odgt"
+    odgt.write_text("\n".join(json.dumps(r) for r in recs))
+    ds = TrainDataset(str(tmp_path), str(odgt), list_train="ADE_train",
+                      num_class=2, imgSizes=(16,), imgMaxSize=32,
+                      padding_constant=8, segm_downsampling_rate=1,
+                      gt_gradient_rm_under_repre=0.5)
+    import random as _random
+
+    stream = list(ds._sample_stream([0, 1, 2], _random.Random(0)))
+    assert len(stream) == 3  # bounded
+    assert 2 not in stream  # under-represented replaced by a good sample
