@@ -66,13 +66,26 @@ def main(argv=None):
     log = logging.getLogger("fovealseg")
     log.info("config:\n%s", cfg.dump())
 
-    mesh = make_mesh()
+    # TPU.mesh_shape (dp, mp): two non-zero dims select the 2-D GSPMD mesh
+    # (tensor-parallel wide conv weights over 'model', batch over 'data' —
+    # parallel/mesh.py); anything else is the 1-D shard_map DP mesh (the
+    # reference's DDP equivalent).
+    mesh_shape = tuple(cfg.TPU.mesh_shape)
+    use_2d = len(mesh_shape) == 2 and all(s > 0 for s in mesh_shape)
+    if use_2d:
+        from fovealseg_tpu.parallel.mesh import make_mesh_2d
+
+        mesh = make_mesh_2d(dp=mesh_shape[0], mp=mesh_shape[1])
+    else:
+        mesh = make_mesh()
     n_dev = mesh.devices.size
     axis = cfg.TPU.data_axis
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else jnp.float32
 
     dc = DeformConfig.from_cfg(cfg)
-    module = DeformSegmentation(config=dc, axis_name=axis if (cfg.TPU.sync_bn and n_dev > 1) else None, dtype=dtype)
+    # GSPMD reductions are global, so the 2-D path needs no BN axis_name
+    sync_axis = axis if (cfg.TPU.sync_bn and n_dev > 1 and not use_2d) else None
+    module = DeformSegmentation(config=dc, axis_name=sync_axis, dtype=dtype)
     init_module = DeformSegmentation(config=dc, dtype=dtype)
     tx = create_optimizer(cfg)
     lcfg = LossConfig.from_cfg(cfg)
@@ -111,7 +124,14 @@ def main(argv=None):
     from fovealseg_tpu.utils.summary import summarize
 
     log.info("model summary:\n%s", summarize(state.params, state.batch_stats))
-    state = replicate_state(state, mesh)
+    if use_2d:
+        from fovealseg_tpu.parallel.mesh import shard_state_2d
+
+        state = shard_state_2d(state, mesh)
+        log.info("2-D mesh: dp=%d x mp=%d (tensor-parallel wide weights)",
+                 mesh_shape[0], mesh_shape[1])
+    else:
+        state = replicate_state(state, mesh)
 
     # resume (TRAIN.start_epoch, train_deform_semantic.py:649-658)
     if cfg.TRAIN.start_epoch > 0:
@@ -122,14 +142,25 @@ def main(argv=None):
         restored = ckpt.load_checkpoint(cfg.DIR, name, state)
         from fovealseg_tpu.train.step import TrainState
 
-        state = replicate_state(
-            TrainState(restored["params"], restored["batch_stats"], restored["opt_state"], restored["step"]),
-            mesh,
+        restored_state = TrainState(
+            restored["params"], restored["batch_stats"], restored["opt_state"], restored["step"]
         )
+        if use_2d:
+            from fovealseg_tpu.parallel.mesh import shard_state_2d
+
+            state = shard_state_2d(restored_state, mesh)
+        else:
+            state = replicate_state(restored_state, mesh)
         log.info("resumed from %s at epoch %d", cfg.DIR, epoch)
 
-    train_step = make_parallel_train_step(module, tx, lcfg, mesh, axis)
-    eval_step = make_parallel_eval_step(module, lcfg, mesh, axis)
+    if use_2d:
+        from fovealseg_tpu.parallel.mesh import make_gspmd_eval_step, make_gspmd_train_step
+
+        train_step = make_gspmd_train_step(module, tx, lcfg, mesh, state)
+        eval_step = make_gspmd_eval_step(module, lcfg, mesh, state)
+    else:
+        train_step = make_parallel_train_step(module, tx, lcfg, mesh, axis)
+        eval_step = make_parallel_eval_step(module, lcfg, mesh, axis)
 
     def visual_fn(state, epoch):
         # reference cadence dump set: {DIR}/train_visual_epoch{N}/iter0_batch{i}_*

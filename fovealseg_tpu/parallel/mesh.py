@@ -160,6 +160,35 @@ def shard_state_2d(state, mesh: Mesh, min_channels: int = 256):
     return jax.device_put(state, state_shardings_2d(state, mesh, min_channels))
 
 
+def make_gspmd_eval_step(module, lcfg, mesh: Mesh, state,
+                         min_channels: int = 256):
+    """2-D-mesh eval step: batch over 'data', params in their training
+    shardings (wide kernels over 'model'); GSPMD reductions keep metrics
+    global. ``state`` is the sharding template, as in the train step."""
+    from fovealseg_tpu.train.step import make_eval_step
+
+    inner = make_eval_step(module, lcfg, axis_name=None)
+    state_sh = state_shardings_2d(state, mesh, min_channels)
+    batch_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    jitted: dict = {}
+
+    def call(params, batch_stats, batch):
+        key = frozenset(batch.keys())
+        if key not in jitted:
+            b_sh = {k: (rep if k in _REPLICATED_KEYS or getattr(v, "ndim", 1) == 0
+                        else batch_sh) for k, v in batch.items()}
+            jitted[key] = jax.jit(
+                inner,
+                in_shardings=(state_sh.params, state_sh.batch_stats, b_sh),
+                out_shardings=rep,
+            )
+        return jitted[key](params, batch_stats, batch)
+
+    return call
+
+
 def make_gspmd_train_step(module, tx, lcfg, mesh: Mesh, state,
                           min_channels: int = 256):
     """2-D-mesh training step: batch over 'data', wide weights over 'model'.

@@ -181,3 +181,30 @@ def test_cli_eval_odgt_multiscale(tmp_path):
     assert 0.0 <= res["mean_iou"] <= 1.0
     assert 0.0 <= res["mean_iou_deformed"] <= 1.0
     assert "y_reverse_iou" in res
+
+
+@pytest.mark.slow
+def test_cli_train_2d_mesh(tmp_path):
+    """TPU.mesh_shape '(4, 2)' selects the 2-D GSPMD mesh (tensor-parallel
+    wide weights + data-parallel batch) end-to-end through the training CLI."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "jax.config.update('jax_num_cpu_devices', 8);"
+         "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_tests');"
+         "import sys; sys.argv=['train'] + sys.argv[1:];"
+         "sys.path.insert(0, %r); import importlib.util;"
+         "spec = importlib.util.spec_from_file_location('clitrain', %r);"
+         "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
+         % (REPO, os.path.join(REPO, "cli", "train.py")),
+         "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
+         *TINY_OPTS,
+         "TRAIN.num_epoch", "1", "TRAIN.epoch_iters", "2",
+         "TPU.mesh_shape", "(4, 2)",
+         "DIR", str(tmp_path / "run")],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "2-D mesh: dp=4 x mp=2" in (out.stdout + out.stderr)
+    assert (tmp_path / "run" / "eval_history.csv").exists()
+    assert (tmp_path / "run" / "epoch_last").exists()
