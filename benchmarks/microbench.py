@@ -1,13 +1,13 @@
 """Per-op microbenchmarks of the flagship's hot shapes vs the MXU roofline.
 
-Times individual convs/resizes/gathers (fori_loop-chained, see sweep.py) to
-attribute the warped-domain MFU gap found by breakdown.py.
+Times individual convs/resizes/gathers with the RTT-corrected differential
+method (benchmarks/timing.py) to attribute the warped-domain budget found by
+breakdown.py.
 """
 
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -20,21 +20,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 B = 8
 
 
-def time_fn(fn, *args, iters=30):
-    """Chain iters executions with a scalar carry; time the 2nd call."""
+def time_fn(fn, *args, n1=20, n2=220):
+    """RTT-corrected differential timing (benchmarks/timing.py)."""
+    from benchmarks.timing import time_op
 
-    def chained(*a):
-        def body(_, carry):
-            out = fn(a[0] + carry, *a[1:])
-            return (jnp.sum(out) * 0).astype(a[0].dtype)
-
-        return jax.lax.fori_loop(0, iters, body, jnp.asarray(0, a[0].dtype))
-
-    run = jax.jit(chained)
-    float(run(*args))
-    t0 = time.perf_counter()
-    float(run(*args))
-    return (time.perf_counter() - t0) / iters
+    return time_op(fn, *args, n1=n1, n2=n2)
 
 
 def conv(x, w, stride=1, dilation=1, pad=None):
@@ -121,7 +111,7 @@ def main():
 
     # --- matmul roofline refresh ---
     a = jax.random.normal(key, (4096, 4096), jnp.bfloat16)
-    dt = time_fn(lambda m: m @ m, a, iters=10)
+    dt = time_fn(lambda m: m @ m, a, n1=10, n2=110)
     report("matmul 4096^3 bf16", dt, 2 * 4096**3)
 
     print(json.dumps(results))
