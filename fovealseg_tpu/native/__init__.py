@@ -1,6 +1,28 @@
 """Native C++ spatial components (TPU-era equivalent of the reference's
-vendored scipy.spatial — SURVEY.md §2.6). Auto-builds via make on first use."""
+vendored scipy.spatial — SURVEY.md §2.6). Auto-builds via make on first use.
+
+Surface map to the reference package:
+- ``spatial``  -> qhull slice (Delaunay + barycentric find_simplex), NN, hausdorff
+- ``distance`` -> distance.py / distance_wrap.c (pdist/cdist/squareform)
+- ``kdtree``   -> ckdtree (KDTree: query / query_ball_point / query_pairs / count_neighbors)
+- ``rotation`` -> transform/rotation.pyx (Rotation, Slerp)
+- ``voronoi``  -> _voronoi.pyx (sort_vertices_of_regions)
+"""
 
 from fovealseg_tpu.native.spatial import Delaunay, directed_hausdorff, nearest_neighbor
+from fovealseg_tpu.native import distance
+from fovealseg_tpu.native.kdtree import KDTree, cKDTree
+from fovealseg_tpu.native.rotation import Rotation, Slerp
+from fovealseg_tpu.native.voronoi import sort_vertices_of_regions
 
-__all__ = ["Delaunay", "directed_hausdorff", "nearest_neighbor"]
+__all__ = [
+    "Delaunay",
+    "directed_hausdorff",
+    "nearest_neighbor",
+    "distance",
+    "KDTree",
+    "cKDTree",
+    "Rotation",
+    "Slerp",
+    "sort_vertices_of_regions",
+]

@@ -1,0 +1,342 @@
+"""Rotation / Slerp work-alike for the spatial.transform surface.
+
+Completes the reference's vendored ``spatial/transform/rotation.pyx``
+(/root/reference/spatial/transform/rotation.pyx, 2433 LoC Cython — shipped
+with tests but never imported by the reference runtime). Vectorized NumPy
+implementation with the scipy API slice the reference's own transform tests
+exercise: quaternion (scalar-last) storage; from/as quat, matrix, rotvec,
+euler; apply; inv; composition; magnitude; mean; align_vectors; identity;
+random; Slerp. Closed-form Euler extraction (Tait-Bryan arcsin form, proper
+Euler arccos form, extrinsic by sequence reversal). scipy.spatial.transform
+is the test oracle (tests/test_native_rotation.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_AXIS = {"x": 0, "y": 1, "z": 2}
+
+
+def _elem_matrix(axis: int, angle: np.ndarray) -> np.ndarray:
+    """Rotation matrices about a coordinate axis; angle [...] -> [..., 3, 3]."""
+    c, s = np.cos(angle), np.sin(angle)
+    o, z = np.ones_like(c), np.zeros_like(c)
+    if axis == 0:
+        rows = [o, z, z, z, c, -s, z, s, c]
+    elif axis == 1:
+        rows = [c, z, s, z, o, z, -s, z, c]
+    else:
+        rows = [c, -s, z, s, c, z, z, z, o]
+    return np.stack(rows, axis=-1).reshape(angle.shape + (3, 3))
+
+
+def _quat_mul(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Hamilton product of scalar-last quaternions ([..., 4])."""
+    px, py, pz, pw = np.moveaxis(p, -1, 0)
+    qx, qy, qz, qw = np.moveaxis(q, -1, 0)
+    return np.stack(
+        [
+            pw * qx + px * qw + py * qz - pz * qy,
+            pw * qy - px * qz + py * qw + pz * qx,
+            pw * qz + px * qy - py * qx + pz * qw,
+            pw * qw - px * qx - py * qy - pz * qz,
+        ],
+        axis=-1,
+    )
+
+
+def _normalize(q: np.ndarray) -> np.ndarray:
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+class Rotation:
+    """Rotation in 3-D, stored as normalized scalar-last quaternions [n, 4]."""
+
+    def __init__(self, quat, normalize: bool = True, copy: bool = True):
+        quat = np.asarray(quat, dtype=np.float64)
+        self._single = quat.ndim == 1
+        quat = np.atleast_2d(quat)
+        if quat.shape[-1] != 4:
+            raise ValueError("quaternions must be [..., 4] scalar-last")
+        if normalize:
+            quat = _normalize(quat)
+        elif copy:
+            quat = quat.copy()
+        self._quat = quat
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_quat(cls, quat) -> "Rotation":
+        return cls(quat, normalize=True)
+
+    @classmethod
+    def from_matrix(cls, matrix) -> "Rotation":
+        """Largest-component (Shepperd) quaternion extraction; vectorized."""
+        m = np.asarray(matrix, dtype=np.float64)
+        single = m.ndim == 2
+        if single:
+            m = m[None]
+        n = m.shape[0]
+        q = np.empty((n, 4))
+        tr = np.einsum("nii->ni", m)  # diagonal [n, 3]
+        # candidate squared components: (x, y, z, w) * 4
+        cand = np.stack(
+            [
+                1.0 + tr[:, 0] - tr[:, 1] - tr[:, 2],
+                1.0 - tr[:, 0] + tr[:, 1] - tr[:, 2],
+                1.0 - tr[:, 0] - tr[:, 1] + tr[:, 2],
+                1.0 + tr[:, 0] + tr[:, 1] + tr[:, 2],
+            ],
+            axis=-1,
+        )
+        choice = np.argmax(cand, axis=-1)
+        for i in range(n):
+            M = m[i]
+            c = choice[i]
+            if c == 3:
+                w = 0.5 * np.sqrt(cand[i, 3])
+                q[i] = [
+                    (M[2, 1] - M[1, 2]) / (4 * w),
+                    (M[0, 2] - M[2, 0]) / (4 * w),
+                    (M[1, 0] - M[0, 1]) / (4 * w),
+                    w,
+                ]
+            else:
+                j, k = (c + 1) % 3, (c + 2) % 3
+                s = 0.5 * np.sqrt(cand[i, c])
+                vec = np.empty(3)
+                vec[c] = s
+                vec[j] = (M[j, c] + M[c, j]) / (4 * s)
+                vec[k] = (M[k, c] + M[c, k]) / (4 * s)
+                q[i] = [vec[0], vec[1], vec[2], (M[k, j] - M[j, k]) / (4 * s)]
+        q = _normalize(q)
+        return cls(q[0] if single else q, normalize=False, copy=False)
+
+    @classmethod
+    def from_rotvec(cls, rotvec) -> "Rotation":
+        rv = np.asarray(rotvec, dtype=np.float64)
+        single = rv.ndim == 1
+        rv = np.atleast_2d(rv)
+        angle = np.linalg.norm(rv, axis=-1)
+        small = angle < 1e-8
+        # sin(a/2)/a with Taylor fallback near zero
+        scale = np.where(
+            small, 0.5 - angle**2 / 48.0, np.sin(angle / 2.0) / np.where(small, 1.0, angle)
+        )
+        quat = np.concatenate(
+            [rv * scale[..., None], np.cos(angle / 2.0)[..., None]], axis=-1
+        )
+        return cls(quat[0] if single else quat, normalize=False, copy=False)
+
+    @classmethod
+    def from_euler(cls, seq: str, angles, degrees: bool = False) -> "Rotation":
+        intrinsic = seq.isupper()
+        axes = [_AXIS[c] for c in seq.lower()]
+        if not 1 <= len(axes) <= 3:
+            raise ValueError("sequence must have 1-3 axes")
+        if any(axes[i] == axes[i + 1] for i in range(len(axes) - 1)):
+            raise ValueError("consecutive axes must differ")
+        ang = np.asarray(angles, dtype=np.float64)
+        if degrees:
+            ang = np.deg2rad(ang)
+        if len(axes) == 1:
+            ang = ang.reshape(ang.shape + (1,)) if ang.ndim == 0 else ang
+        single = ang.ndim <= 1
+        ang = np.atleast_2d(ang)
+        if ang.shape[-1] != len(axes):
+            raise ValueError("angle count must match sequence length")
+        # elementary quaternions composed per convention:
+        # intrinsic: q = q1 * q2 * q3 ; extrinsic: q = q3 * q2 * q1
+        quats = []
+        for i, ax in enumerate(axes):
+            half = ang[:, i] / 2.0
+            q = np.zeros(ang.shape[:-1] + (4,))
+            q[..., ax] = np.sin(half)
+            q[..., 3] = np.cos(half)
+            quats.append(q)
+        order = quats if intrinsic else list(reversed(quats))
+        total = order[0]
+        for q in order[1:]:
+            total = _quat_mul(total, q)
+        return cls(total[0] if single else total, normalize=True)
+
+    @classmethod
+    def identity(cls, num: int | None = None) -> "Rotation":
+        if num is None:
+            return cls(np.array([0.0, 0.0, 0.0, 1.0]), normalize=False)
+        q = np.zeros((num, 4))
+        q[:, 3] = 1.0
+        return cls(q, normalize=False, copy=False)
+
+    @classmethod
+    def random(cls, num: int | None = None, random_state=None) -> "Rotation":
+        rng = np.random.default_rng(random_state)
+        n = 1 if num is None else num
+        q = rng.normal(size=(n, 4))
+        q = _normalize(q)
+        return cls(q[0] if num is None else q, normalize=False, copy=False)
+
+    @classmethod
+    def align_vectors(cls, a, b, weights=None):
+        """Kabsch/Wahba solve: rotation taking b onto a; returns (R, rssd)."""
+        a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+        b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+        w = np.ones(len(a)) if weights is None else np.asarray(weights, float)
+        B = np.einsum("n,ni,nj->ij", w, a, b)
+        U, S, Vt = np.linalg.svd(B)
+        d = np.sign(np.linalg.det(U @ Vt))
+        M = U @ np.diag([1.0, 1.0, d]) @ Vt
+        rot = cls.from_matrix(M)
+        # residual sum of squared distances
+        resid = a - np.einsum("ij,nj->ni", M, b)
+        rssd = np.sqrt(max(np.sum(w[:, None] * resid**2), 0.0))
+        return rot, rssd
+
+    # -- representations ----------------------------------------------------
+
+    def as_quat(self) -> np.ndarray:
+        q = self._quat.copy()
+        return q[0] if self._single else q
+
+    def as_matrix(self) -> np.ndarray:
+        x, y, z, w = np.moveaxis(self._quat, -1, 0)
+        xx, yy, zz = x * x, y * y, z * z
+        xy, xz, yz = x * y, x * z, y * z
+        wx, wy, wz = w * x, w * y, w * z
+        m = np.stack(
+            [
+                1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+                2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+                2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+            ],
+            axis=-1,
+        ).reshape(self._quat.shape[:-1] + (3, 3))
+        return m[0] if self._single else m
+
+    def as_rotvec(self) -> np.ndarray:
+        q = self._quat
+        # take the w >= 0 representative so the angle is in [0, pi]
+        q = np.where(q[..., 3:4] < 0, -q, q)
+        norm = np.linalg.norm(q[..., :3], axis=-1)
+        angle = 2.0 * np.arctan2(norm, q[..., 3])
+        small = angle < 1e-8
+        scale = np.where(
+            small, 2.0 + angle**2 / 12.0, angle / np.where(small, 1.0, np.sin(angle / 2.0))
+        )
+        rv = q[..., :3] * scale[..., None]
+        return rv[0] if self._single else rv
+
+    def as_euler(self, seq: str, degrees: bool = False) -> np.ndarray:
+        if len(seq) != 3:
+            raise ValueError("as_euler requires a 3-axis sequence")
+        intrinsic = seq.isupper()
+        s = seq.lower()
+        if not intrinsic:
+            s = s[::-1]  # extrinsic(abc) == intrinsic(cba) with angles reversed
+        i, j = _AXIS[s[0]], _AXIS[s[1]]
+        proper = s[0] == s[2]
+        k = ({0, 1, 2} - {i, j}).pop() if proper else _AXIS[s[2]]
+        eps = +1.0 if (j - i) % 3 == 1 else -1.0  # cyclic permutation sign
+        m = self.as_matrix()
+        m = m[None] if self._single else m
+        if proper:
+            b = np.arccos(np.clip(m[:, i, i], -1.0, 1.0))
+            safe = np.abs(np.sin(b)) > 1e-7
+            a = np.where(safe, np.arctan2(m[:, j, i], -eps * m[:, k, i]), 0.0)
+            c = np.where(
+                safe,
+                np.arctan2(m[:, i, j], eps * m[:, i, k]),
+                # gimbal lock: only a +/- c observable; put it all in a
+                0.0,
+            )
+            a = np.where(
+                safe, a, np.arctan2(eps * m[:, k, j], m[:, j, j])
+            )
+        else:
+            kk = _AXIS[s[2]]
+            b = np.arcsin(np.clip(eps * m[:, i, kk], -1.0, 1.0))
+            safe = np.abs(np.cos(b)) > 1e-7
+            a = np.where(safe, np.arctan2(-eps * m[:, j, kk], m[:, kk, kk]), 0.0)
+            c = np.where(safe, np.arctan2(-eps * m[:, i, j], m[:, i, i]), 0.0)
+            a = np.where(safe, a, np.arctan2(eps * m[:, j, i], m[:, j, j]))
+        ang = np.stack([a, b, c], axis=-1)
+        if not intrinsic:
+            ang = ang[:, ::-1]
+        if degrees:
+            ang = np.rad2deg(ang)
+        return ang[0] if self._single else ang
+
+    # -- operations ---------------------------------------------------------
+
+    def apply(self, vectors, inverse: bool = False) -> np.ndarray:
+        v = np.asarray(vectors, dtype=np.float64)
+        vsingle = v.ndim == 1
+        v = np.atleast_2d(v)
+        m = self.as_matrix()
+        if self._single:
+            out = v @ (m if inverse else m.T)
+        else:
+            out = np.einsum("nij,nj->ni", np.swapaxes(m, -1, -2) if inverse else m, v)
+        return out[0] if (vsingle and self._single) else out
+
+    def inv(self) -> "Rotation":
+        q = self._quat * np.array([-1.0, -1.0, -1.0, 1.0])
+        return Rotation(q[0] if self._single else q, normalize=False, copy=False)
+
+    def __mul__(self, other: "Rotation") -> "Rotation":
+        q = _quat_mul(self._quat, other._quat)
+        single = self._single and other._single
+        return Rotation(q[0] if single else q, normalize=True)
+
+    def magnitude(self):
+        q = self._quat
+        ang = 2.0 * np.arctan2(np.linalg.norm(q[..., :3], axis=-1), np.abs(q[..., 3]))
+        return float(ang[0]) if self._single else ang
+
+    def mean(self, weights=None) -> "Rotation":
+        """Chordal L2 mean (Markley): principal eigenvector of sum w q qT."""
+        q = self._quat
+        w = np.ones(len(q)) if weights is None else np.asarray(weights, float)
+        A = np.einsum("n,ni,nj->ij", w, q, q)
+        vals, vecs = np.linalg.eigh(A)
+        return Rotation(vecs[:, -1], normalize=True)
+
+    def __len__(self) -> int:
+        if self._single:
+            raise TypeError("single rotation has no len()")
+        return len(self._quat)
+
+    def __getitem__(self, idx) -> "Rotation":
+        if self._single:
+            raise TypeError("single rotation is not subscriptable")
+        return Rotation(self._quat[idx], normalize=False)
+
+
+class Slerp:
+    """Spherical linear interpolation over keyframe rotations at given times."""
+
+    def __init__(self, times, rotations: Rotation):
+        self.times = np.asarray(times, dtype=np.float64)
+        if len(rotations) != len(self.times):
+            raise ValueError("times and rotations must have equal length")
+        if np.any(np.diff(self.times) <= 0):
+            raise ValueError("times must be strictly increasing")
+        self.rotations = rotations
+
+    def __call__(self, t) -> Rotation:
+        t = np.asarray(t, dtype=np.float64)
+        single = t.ndim == 0
+        t = np.atleast_1d(t)
+        if np.any(t < self.times[0]) or np.any(t > self.times[-1]):
+            raise ValueError("interpolation times out of range")
+        idx = np.clip(np.searchsorted(self.times, t, side="right") - 1, 0,
+                      len(self.times) - 2)
+        t0, t1 = self.times[idx], self.times[idx + 1]
+        tau = (t - t0) / (t1 - t0)
+        r0 = self.rotations[idx]
+        r1 = self.rotations[idx + 1]
+        delta = (r0.inv() * r1).as_rotvec()
+        out = r0 * Rotation.from_rotvec(delta * tau[:, None])
+        return out[0] if single else out
