@@ -90,9 +90,27 @@ def measure_fullres_fps(batch: int = 8) -> float:
     return batch / dt
 
 
+def measure_fullres_labels_fps(batch: int = 8) -> float:
+    """Full-res serving path: forward + argmax-only inverse warp (gathers one
+    int32 class channel — exact argmax of pred_sampled, the quantity every
+    eval metric consumes)."""
+    from benchmarks.timing import time_op
+    from fovealseg_tpu.models.deform_module import DeformSegmentation
+
+    module, variables, x, f = _flagship_setup(batch)
+    dt = time_op(
+        lambda x: module.apply(
+            variables, x, f, argmax_labels=True, method=DeformSegmentation.infer
+        )["pred_label"],
+        x, n1=5, n2=25,
+    )
+    return batch / dt
+
+
 def main():
     fps = measure_jax_fps()
     fullres = measure_fullres_fps()
+    fullres_labels = measure_fullres_labels_fps()
     base = get_torch_baseline_fps()
     vs = fps / (5.0 * base) if base == base and base > 0 else 0.0
     print(
@@ -103,6 +121,7 @@ def main():
                 "unit": "frames/sec/chip (640px->80x80, FSNet HRNetV2 bf16, warped-domain)",
                 "vs_baseline": round(vs, 3),
                 "fullres_inverse_warp_fps": round(fullres, 3),
+                "fullres_labels_fps": round(fullres_labels, 3),
                 "torch_cpu_baseline_fps": round(base, 3) if base == base else None,
                 "baseline_definition": "5x torch-CPU end-to-end pipeline (BASELINE.md north star)",
             }

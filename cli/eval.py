@@ -100,12 +100,17 @@ def main(argv=None):
 
     rev_y = bool(cfg.VAL.y_sampled_reverse)
     rev_x = bool(cfg.VAL.x_sampled_reverse)
+    # metrics only need argmax(pred_sampled); when no visualization asks for
+    # the full score map, run the argmax-only inverse warp (gathers one int32
+    # channel instead of num_class floats — exact, see unwarp_argmax_fast)
+    argmax_only = not bool(cfg.VAL.visualize or cfg.TRAIN.train_eval_visualise)
 
     @jax.jit
     def infer(params, stats, x, f, y):
         return module.apply(
             {"params": params, "batch_stats": stats}, x, f,
             y=y, y_sampled_reverse=rev_y, x_sampled_reverse=rev_x,
+            argmax_labels=argmax_only,
             method=DeformSegmentation.infer,
         )
 
@@ -162,7 +167,10 @@ def main(argv=None):
         cls = np.asarray(batch["cls_label"]).reshape(-1)
         gt = (y * cls[:, None, None] + (1 - y) * bg).astype(np.int64)
         out = infer(params, stats, x, f, jnp.asarray(gt))
-        pred = np.argmax(np.asarray(out["pred_sampled"]), axis=-1)
+        if "pred_label" in out:
+            pred = np.asarray(out["pred_label"], np.int64)
+        else:
+            pred = np.argmax(np.asarray(out["pred_sampled"]), axis=-1)
         if visualize and n < 4:
             _emit_visuals(n, np.asarray(x), out, pred, gt)
         if rev_y:

@@ -22,7 +22,54 @@ import numpy as np
 
 from fovealseg_tpu.data.lvis import rasterize_polygon
 
-# Cityscapes label name -> contiguous training id (19-class convention)
+
+def wrap_name(name: str) -> str:
+    """Spaces -> dashes (b3_preprocess_cityscapes.py:45-46)."""
+    return name.replace(" ", "-")
+
+
+# b3 get_labels_ordered (b3_preprocess_cityscapes.py:194-265): the 41-entry
+# priority-ordered label list (most important first; index 40 = unlabeled).
+IDX2LABEL = [wrap_name(n) for n in [
+    "person", "persongroup",
+    "rider", "ridergroup",
+    "bicycle", "bicyclegroup",
+    "motorcycle", "motorcyclegroup",
+    "car", "cargroup",
+    "truck", "truckgroup",
+    "bus", "train",
+    "caravan", "trailer",
+    "license plate",
+    "traffic light", "traffic sign",
+    "pole", "polegroup",
+    "bridge", "fence", "guard rail", "tunnel", "building", "wall",
+    "rail track", "sidewalk", "parking", "road",
+    "vegetation", "terrain", "ground",
+    "dynamic", "static", "ego vehicle", "sky",
+    "out of roi", "rectification border",
+    "unlabeled",
+]]
+LABEL2IDX = {label: idx for idx, label in enumerate(IDX2LABEL)}
+
+# b3:527-549 — label2idx index -> contiguous 19-class training id (unknown -> 0)
+ORIGINAL_IDX_TO_NEW_IDX = {
+    6: 0, 2: 1, 17: 2, 12: 3, 13: 4, 10: 5, 4: 6, 18: 7, 26: 8, 22: 9,
+    32: 10, 0: 11, 19: 12, 37: 13, 28: 14, 8: 15, 31: 16, 25: 17, 30: 18,
+}
+
+
+def convert_index(original_index: int) -> int:
+    return ORIGINAL_IDX_TO_NEW_IDX.get(original_index, 0)
+
+
+# b3 make_N_samples round-robin target classes (b3:476-496)
+MAKE_SAMPLE_LABELS = [wrap_name(n) for n in [
+    "motorcycle", "rider", "traffic light", "bus", "train", "truck",
+    "bicycle", "traffic sign", "wall", "fence", "terrain", "person", "pole",
+    "sky", "sidewalk", "car", "vegetation", "building", "road",
+]]
+
+# kept for callers that want the standard 19-class convention by name
 CITYSCAPES_CLASSES = [
     "road", "sidewalk", "building", "wall", "fence", "pole", "traffic light",
     "traffic sign", "vegetation", "terrain", "sky", "person", "rider", "car",
@@ -31,103 +78,260 @@ CITYSCAPES_CLASSES = [
 NAME_TO_ID = {n: i for i, n in enumerate(CITYSCAPES_CLASSES)}
 
 
+def polygon_mask(polygon, canvas_h: int, canvas_w: int) -> np.ndarray:
+    """bool [H, W] raster of a cityscapes [x, y] polygon with the reference's
+    negative-vertex wrap + clip preprocessing (get_rrcc_by_polygon, b3:33-42)."""
+    p = np.array(polygon, dtype=np.float64)
+    ys, xs = p[:, 1].copy(), p[:, 0].copy()
+    ys[ys < 0] += canvas_h
+    xs[xs < 0] += canvas_w
+    ys = np.clip(ys, 0, canvas_h - 1)
+    xs = np.clip(xs, 0, canvas_w - 1)
+    return rasterize_polygon(np.stack([xs, ys], axis=-1), canvas_h, canvas_w)
+
+
+def object_index_map(objs, canvas_h: int, canvas_w: int):
+    """Occlusion-resolving object-index map (cache_oidxHxW, b3:81-144).
+
+    Paints polygons back-to-front (the list is ordered most-important-first,
+    so obj 0 is painted last and wins overlaps). Returns (oidx_map int32 with
+    ``len(objs)`` as the no-object sentinel, sorted list of visible ids
+    including the sentinel — mirroring the reference's uniques which include
+    its 2^bits-1 default)."""
+    n = len(objs)
+    oidx_map = np.full((canvas_h, canvas_w), n, dtype=np.int32)
+    for back, obj in enumerate(objs[::-1]):
+        m = polygon_mask(obj["polygon"], canvas_h, canvas_w)
+        oidx_map[m] = n - 1 - back
+    visible = np.unique(oidx_map).tolist()
+    return oidx_map, visible
+
+
+def point_in_polygon(polygon, point) -> bool:
+    """Ray-cast point-in-polygon ((x, y) vertex pairs; boundary-exclusive,
+    matching shapely ``Polygon.contains`` used at b3:54)."""
+    x, y = float(point[0]), float(point[1])
+    p = np.asarray(polygon, np.float64)
+    inside = False
+    j = len(p) - 1
+    for i in range(len(p)):
+        xi, yi = p[i]
+        xj, yj = p[j]
+        if (yi > y) != (yj > y):
+            t = (y - yi) / (yj - yi)
+            if x < xi + t * (xj - xi):
+                inside = not inside
+        j = i
+    return inside
+
+
+def find_polygon(objs, point):
+    """Which object contains the gaze point, preferring the most important
+    label class (find_polygon, b3:49-66). Returns (label, polygon, idx) or
+    ("", [], -1)."""
+    labelidx2idxs: list[list[int]] = [[] for _ in IDX2LABEL]
+    for idx, obj in enumerate(objs):
+        label = wrap_name(obj["label"])
+        if label not in LABEL2IDX:
+            continue
+        if point_in_polygon(obj["polygon"], point):
+            labelidx2idxs[LABEL2IDX[label]].append(idx)
+    for idxs in labelidx2idxs:
+        if idxs:
+            tidx = idxs[0]
+            obj = objs[tidx]
+            return wrap_name(obj["label"]), obj["polygon"], tidx
+    return "", [], -1
+
+
 @dataclass
 class PreprocessCityscapes:
-    """Offline cooker over gtFine polygon jsons."""
+    """Offline cooker over gtFine polygon jsons (b3 PreprocessCityscapes,
+    b3_preprocess_cityscapes.py:147-500).
 
-    gtfine_dir: str  # e.g. .../gtFine/train
+    Semantics per the reference: full-resolution ``canvas_hw`` frames; a
+    sample is built for a *target object* at a *gaze pixel* where it is
+    visible (object-index map resolves occlusion); the crop window of size
+    ``crop_hw`` is placed uniformly at random among windows containing the
+    gaze (clamped to the canvas, b3:362-381); the label is the full raster of
+    the target polygon (not visibility-masked, b3:355-360) cropped to the
+    window; metadata rides in the filename
+    ``{label}_c{idx}_k{idx}_{itemkey}_{gy}x{gx}_1x{H}x{W}.uint8.Y.npy``
+    (b3:406-410; .npy replaces torch .pt)."""
+
+    gtfine_dir: str  # gtFine/<split> containing <city>/*_gtFine_polygons.json
     out_dir: str
-    canvas_hw: tuple = (512, 1024)  # 1024x2048 downscaled by 2 (b3)
+    image_dir: str | None = None  # leftImg8bit/<split>; synthetic X if absent
+    canvas_hw: tuple = (1024, 2048)
+    crop_hw: tuple = (512, 1024)
     seed: int = 0
 
-    def cook(self, max_samples: int = -1) -> list[str]:
-        rng = random.Random(self.seed)
-        os.makedirs(self.out_dir, exist_ok=True)
-        written = []
+    def __post_init__(self):
+        self._rng = random.Random(self.seed)
+        self.items: list[tuple[str, str]] = []  # (itemkey, polygons path)
         for root, _, files in os.walk(self.gtfine_dir):
             for name in sorted(files):
-                if not name.endswith("_polygons.json"):
+                if name.endswith("_gtFine_polygons.json"):
+                    key = name.replace("_gtFine_polygons.json", "")
+                    self.items.append((key, os.path.join(root, name)))
+        self._objs_cache: dict[str, list] = {}
+        self._oidx_cache: dict[str, tuple] = {}
+
+    def get_objs_ordered(self, itemkey: str) -> list:
+        if itemkey not in self._objs_cache:
+            path = dict(self.items)[itemkey]
+            with open(path) as f:
+                self._objs_cache[itemkey] = json.load(f).get("objects", [])
+        return self._objs_cache[itemkey]
+
+    def _oidx_map(self, itemkey: str):
+        if itemkey not in self._oidx_cache:
+            self._oidx_cache[itemkey] = object_index_map(
+                self.get_objs_ordered(itemkey), *self.canvas_hw
+            )
+        return self._oidx_cache[itemkey]
+
+    def rank_itemkeys(self) -> list[str]:
+        """Itemkeys by (distinct labels, object count) descending (b3:424-438)."""
+        ranked = []
+        for itemkey, _ in self.items:
+            objs = self.get_objs_ordered(itemkey)
+            ranked.append((len({o["label"] for o in objs}), len(objs), itemkey))
+        ranked.sort(key=lambda t: (t[0], t[1]), reverse=True)
+        return [t[2] for t in ranked]
+
+    def _load_frame(self, itemkey: str) -> np.ndarray:
+        """uint8 [H, W, 3] leftImg8bit frame (synthetic texture if absent)."""
+        if self.image_dir:
+            from PIL import Image
+
+            for root, _, files in os.walk(self.image_dir):
+                name = itemkey + "_leftImg8bit.png"
+                if name in files:
+                    im = Image.open(os.path.join(root, name)).convert("RGB")
+                    im = im.resize((self.canvas_hw[1], self.canvas_hw[0]))
+                    return np.asarray(im, np.uint8)
+        rng = np.random.default_rng(abs(hash(itemkey)) % (2**31))
+        return rng.integers(0, 256, (*self.canvas_hw, 3), dtype=np.uint8)
+
+    def make_a_sample(self, itemkey: str, idx_h: int, idx_w: int,
+                      oidx_target: int, mark: str = "default") -> str:
+        objs = self.get_objs_ordered(itemkey)
+        obj = objs[oidx_target]
+        label = wrap_name(obj["label"])
+        labelidx = LABEL2IDX[label]
+        ch, cw = self.crop_hw
+        hmax, wmax = self.canvas_hw
+        mask = polygon_mask(obj["polygon"], hmax, wmax)
+        # crop window uniformly among those containing the gaze, clamped
+        hs = idx_h + self._rng.randint(-(ch - 1), 0)
+        ws = idx_w + self._rng.randint(-(cw - 1), 0)
+        hs = min(max(hs, 0), hmax - ch)
+        ws = min(max(ws, 0), wmax - cw)
+        gy, gx = idx_h - hs, idx_w - ws
+        y = mask[hs:hs + ch, ws:ws + cw].astype(np.uint8)
+        x = self._load_frame(itemkey)[hs:hs + ch, ws:ws + cw]
+        out = os.path.join(self.out_dir, mark)
+        os.makedirs(out, exist_ok=True)
+        stem = (f"{label}_c{labelidx}_k{labelidx}_{itemkey.replace('_', '-')}_"
+                f"{gy}x{gx}")
+        np.save(os.path.join(out, f"{stem}_1x{ch}x{cw}.uint8.Y.npy"), y)
+        np.save(os.path.join(out, f"{stem}_3x{ch}x{cw}.uint8.X.npy"), x)
+        return stem
+
+    def make_a_sample_by_label(self, label_target: str,
+                               mark: str = "default") -> str | None:
+        """Pick a random frame containing the class, a random *visible* pixel
+        of a random instance as gaze, then cook (b3:440-474)."""
+        label_target = wrap_name(label_target)
+        candidates = [
+            k for k, _ in self.items
+            if any(wrap_name(o["label"]) == label_target
+                   for o in self.get_objs_ordered(k))
+        ]
+        if not candidates:
+            return None
+        itemkey = self._rng.choice(candidates)
+        objs = self.get_objs_ordered(itemkey)
+        oidx_map, _ = self._oidx_map(itemkey)
+        oidxs_valid = [i for i, o in enumerate(objs)
+                       if wrap_name(o["label"]) == label_target]
+        self._rng.shuffle(oidxs_valid)
+        for oidx in oidxs_valid:
+            pix = np.argwhere(oidx_map == oidx)
+            if len(pix):
+                idx_h, idx_w = pix[self._rng.randrange(len(pix))].tolist()
+                return self.make_a_sample(itemkey, idx_h, idx_w, oidx, mark)
+        return None
+
+    def make_N_samples(self, n: int, marker: str = "default") -> list[str]:
+        """Round-robin the 19 target classes (b3:475-500)."""
+        written = []
+        for i in range(n):
+            stem = self.make_a_sample_by_label(
+                MAKE_SAMPLE_LABELS[i % len(MAKE_SAMPLE_LABELS)], mark=marker
+            )
+            if stem is not None:
+                written.append(stem)
+        return written
+
+    def cook(self, max_samples: int = -1, marker: str = "default") -> list[str]:
+        """Convenience driver: one sample per (frame, known-label object)
+        with the gaze at a random visible pixel of the object."""
+        written = []
+        for itemkey, _ in self.items:
+            objs = self.get_objs_ordered(itemkey)
+            oidx_map, _ = self._oidx_map(itemkey)
+            for oidx, obj in enumerate(objs):
+                if wrap_name(obj["label"]) not in LABEL2IDX:
                     continue
-                with open(os.path.join(root, name)) as f:
-                    meta = json.load(f)
-                h0, w0 = meta["imgHeight"], meta["imgWidth"]
-                sy = self.canvas_hw[0] / h0
-                sx = self.canvas_hw[1] / w0
-                key = name.replace("_gtFine_polygons.json", "")
-                for oi, obj in enumerate(meta.get("objects", [])):
-                    cid = NAME_TO_ID.get(obj["label"])
-                    if cid is None:
-                        continue
-                    poly = np.asarray(obj["polygon"], np.float64)
-                    poly[:, 0] *= sx
-                    poly[:, 1] *= sy
-                    mask = rasterize_polygon(poly, *self.canvas_hw)
-                    ys, xs = np.nonzero(mask)
-                    if len(ys) == 0:
-                        continue
-                    k = rng.randrange(len(ys))
-                    fname = (
-                        f"cityscapes_c{cid:02d}_k{cid}_{key}-{oi}_"
-                        f"{int(ys[k])}x{int(xs[k])}_1x{self.canvas_hw[0]}x{self.canvas_hw[1]}"
-                    )
-                    path = os.path.join(self.out_dir, fname + ".Y.npy")
-                    np.save(path, mask)
-                    written.append(path)
-                    if 0 < max_samples <= len(written):
-                        return written
+                pix = np.argwhere(oidx_map == oidx)
+                if not len(pix):
+                    continue
+                idx_h, idx_w = pix[self._rng.randrange(len(pix))].tolist()
+                written.append(self.make_a_sample(itemkey, idx_h, idx_w, oidx, marker))
+                if 0 < max_samples <= len(written):
+                    return written
         return written
 
 
 class DatasetCityscapes:
-    """Runtime dataset over cooked Cityscapes files (b3 DatasetCityScapes /
-    b5 RGBLabel variants). Image loading mirrors the LVIS dataset: the
-    leftImg8bit frame keyed by the sample name when ``image_root`` is set,
-    otherwise a deterministic synthetic texture."""
+    """Runtime dataset over cooked b3 samples (DatasetCityScapes, b3:531-598):
+    parses the filename grammar, returns X [H, W, 3] float32 in [0, 1],
+    focus point (gy/H, gx/W), the binary instance mask, and the 19-class
+    training id via ``convert_index``. The reference's multiprocessing
+    shared-memory twin (b3 ``_Parallel``:599-700) is covered by
+    ``fovealseg_tpu.data.loader.CachedDataset``."""
 
-    def __init__(self, cook_dir: str, image_root: str | None = None):
-        self.image_root = image_root
-        self.items = []
-        for name in sorted(os.listdir(cook_dir)):
-            if not name.endswith(".Y.npy"):
-                continue
-            stem = name[: -len(".Y.npy")]
-            parts = stem.split("_")
-            caty, cid, kid = parts[:3]
-            fpos, ihw = parts[-2:]
-            key = "_".join(parts[3:-2])  # frame keys contain underscores
-            gy, gx = map(int, fpos.split("x"))
-            _, h, w = map(int, ihw.split("x"))
-            self.items.append(
-                dict(path=os.path.join(cook_dir, name), key=key, cls=int(kid[1:]),
-                     gaze=(gy, gx), hw=(h, w))
-            )
+    def __init__(self, cook_dir: str, marker: str = "default"):
+        base = os.path.join(cook_dir, marker)
+        self.dir = base if os.path.isdir(base) else cook_dir
+        self.names = sorted(
+            n for n in os.listdir(self.dir) if n.endswith(".Y.npy")
+        )
 
     def __len__(self):
-        return len(self.items)
+        return len(self.names)
 
     def __getitem__(self, idx: int) -> dict:
-        it = self.items[idx]
-        mask = np.load(it["path"]).astype(np.float32)
-        h, w = mask.shape
-        img = self._load_image(it, (h, w))
+        fname_y = self.names[idx]
+        caty, cid, kid, itemkey, fpos, ihw = fname_y.split(".")[0].split("_")
+        fname_x = f"{caty}_{cid}_{kid}_{itemkey}_{fpos}_3x{ihw[2:]}.uint8.X.npy"
+        y = np.load(os.path.join(self.dir, fname_y)).astype(np.float32)
+        xp = os.path.join(self.dir, fname_x)
+        if os.path.exists(xp):
+            x = np.load(xp).astype(np.float32) / 255.0
+        else:
+            rng = np.random.default_rng(abs(hash(itemkey)) % (2**31))
+            x = rng.uniform(0, 1, (*y.shape, 3)).astype(np.float32)
+        gy, gx = map(int, fpos.split("x"))
+        h, w = y.shape
         return {
-            "img_data": img,
-            "focus_point": np.asarray([it["gaze"][0] / h, it["gaze"][1] / w], np.float32),
-            "seg_label": mask,
-            "cls_label": np.int32(it["cls"]),
+            "img_data": x,
+            "focus_point": np.asarray([gy / h, gx / w], np.float32),
+            "seg_label": y,
+            "cls_label": np.int32(convert_index(int(kid[1:]))),
         }
-
-    def _load_image(self, it, hw):
-        if self.image_root:
-            from PIL import Image
-
-            base = it["key"].rsplit("-", 1)[0]
-            p = os.path.join(self.image_root, base + "_leftImg8bit.png")
-            if os.path.exists(p):
-                im = Image.open(p).convert("RGB").resize((hw[1], hw[0]))
-                return np.asarray(im, np.float32) / 255.0
-        rng = np.random.default_rng(abs(hash(it["key"])) % (2**31))
-        return rng.uniform(0, 1, (*hw, 3)).astype(np.float32)
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0):
         order = np.arange(len(self))

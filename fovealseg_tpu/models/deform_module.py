@@ -34,6 +34,7 @@ from fovealseg_tpu.core.grid import GridSolver, inverse_grid, inverse_grid_index
 from fovealseg_tpu.core.interpolate import resize_bilinear
 from fovealseg_tpu.core.unwarp import (
     jfa_rounds_from_grid,
+    unwarp_argmax_scatter,
     unwarp_labels_fast,
     unwarp_prediction,
     unwarp_prediction_fast,
@@ -189,6 +190,7 @@ class DeformSegmentation(nn.Module):
         y=None,
         y_sampled_reverse: bool = False,
         x_sampled_reverse: bool = False,
+        argmax_labels: bool = False,
     ):
         """Full-resolution inference with inverse warp + hole fill
         (models/models_instance.py:839-949). Returns dict with
@@ -217,7 +219,16 @@ class DeformSegmentation(nn.Module):
         # by the grid geometry (max warped-cell diagonal — VERDICT r1 item 3)
         jfa_iters = c.jfa_iters or None
         jfa_rounds = None if c.jfa_iters else jfa_rounds_from_grid(grid, seg_hw)
-        if c.rev_deform_interp == "nearest":
+        pred_label = None
+        if argmax_labels and c.rev_deform_interp == "nearest":
+            # serving path: argmax commutes with the row-gather inverse warp,
+            # so gather one int32 channel instead of C float channels — exact
+            # for every metric computed from argmax(pred_sampled)
+            pred_label = unwarp_argmax_scatter(
+                pred.astype(jnp.float32), grid, seg_hw, jfa_iters, jfa_rounds
+            )
+            pred_sampled = None
+        elif c.rev_deform_interp == "nearest":
             # exact fast path: payload JFA + one gather (core/unwarp.py)
             pred_sampled = unwarp_prediction_fast(
                 pred.astype(jnp.float32), task_idx, valid, jfa_iters, jfa_rounds
@@ -226,6 +237,8 @@ class DeformSegmentation(nn.Module):
             pred_sampled = unwarp_prediction(
                 pred.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp
             )
+            if argmax_labels:
+                pred_label = jnp.argmax(pred_sampled, axis=-1).astype(jnp.int32)
         out = dict(
             xs=xs,
             grid=grid,
@@ -234,8 +247,11 @@ class DeformSegmentation(nn.Module):
             unfilled_mask=~valid,
             x_sampled=x_sampled,
             pred=pred,
-            pred_sampled=pred_sampled,
         )
+        if pred_sampled is not None:
+            out["pred_sampled"] = pred_sampled
+        if pred_label is not None:
+            out["pred_label"] = pred_label
         if y_sampled_reverse and y is not None:
             # intrinsic-upsampling-error probe: label down then back up.
             # Labels are categorical — round-trip them with a nearest gather

@@ -1,0 +1,164 @@
+"""Multi-host (multi-process) bootstrap and per-host data sharding.
+
+The TPU-era equivalent of the reference's distributed bootstrap
+(/root/reference/train_deform_semantic.py:45-55 ``ddp_setup``: hardcoded
+MASTER_ADDR/PORT + ``init_process_group("nccl")``) and of the vendored
+torch-0.4 ``DistributedSampler`` (/root/reference/lib/utils/data/
+distributed.py:26-58) that shards the dataset across ranks
+(train_deform_semantic.py:462-468).
+
+On TPU there is no per-device process spawn: one process per *host*, SPMD
+inside each process via shard_map/GSPMD (parallel/mesh.py), and XLA
+collectives over ICI/DCN replace NCCL. What remains host-side is exactly two
+things, provided here:
+
+1. ``initialize()`` — the JAX distributed runtime handshake (only needed on
+   multi-host slices; a no-op single-host).
+2. ``DistributedSampler`` / ``host_shard_indices`` — epoch-deterministic
+   rank-exclusive index sharding with wrap-around padding, bit-matching the
+   reference sampler's semantics so each host feeds its local devices, plus
+   ``global_batch_from_host_local`` to assemble a jax.Array spanning hosts.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialize the JAX distributed runtime when running multi-host.
+
+    Mirrors the role of the reference's ``ddp_setup`` (MASTER_ADDR/PORT env +
+    nccl process group) with JAX's coordinator handshake. Arguments default
+    from the standard env vars (COORDINATOR_ADDRESS / NUM_PROCESSES /
+    PROCESS_ID); on a single process (or when already initialized) this is a
+    no-op. Returns True when a multi-process runtime is (already) up.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return True  # already initialized by a prior call / launcher
+    coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", "1"))
+    process_id = process_id if process_id is not None else int(os.environ.get("PROCESS_ID", "0"))
+    if num_processes <= 1 or not coordinator_address:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def host_shard_indices(n: int, num_replicas: int, rank: int,
+                       epoch: int = 0, shuffle: bool = True,
+                       seed: int = 0) -> np.ndarray:
+    """This rank's dataset indices, reference-DistributedSampler semantics.
+
+    Deterministic epoch-seeded permutation, wrap-around padding to
+    ``ceil(n / num_replicas) * num_replicas``, contiguous per-rank blocks
+    (lib/utils/data/distributed.py:37-52 — the vendored sampler subsamples
+    ``indices[rank*num_samples : (rank+1)*num_samples]``; torch's modern
+    strided variant differs, the reference's block variant is matched here).
+    """
+    if not 0 <= rank < num_replicas:
+        raise ValueError("rank out of range")
+    num_samples = int(math.ceil(n / num_replicas))
+    total = num_samples * num_replicas
+    if shuffle:
+        order = np.random.default_rng(seed + epoch).permutation(n)
+    else:
+        order = np.arange(n)
+    order = np.concatenate([order, order[: total - n]])
+    return order[rank * num_samples : (rank + 1) * num_samples]
+
+
+class DistributedSampler:
+    """Work-alike of the vendored torch-0.4 sampler (distributed.py:26-58).
+
+    ``set_epoch`` re-seeds the permutation per epoch exactly like the
+    reference; iteration yields this rank's indices.
+    """
+
+    def __init__(self, dataset_len: int, num_replicas: int, rank: int,
+                 shuffle: bool = True, seed: int = 0):
+        self.n = int(dataset_len)
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.num_samples = int(math.ceil(self.n / num_replicas))
+        self.total_size = self.num_samples * num_replicas
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self):
+        return iter(
+            host_shard_indices(self.n, self.num_replicas, self.rank,
+                               epoch=self.epoch, shuffle=self.shuffle,
+                               seed=self.seed).tolist()
+        )
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+
+def global_batch_from_host_local(local_batch: dict, mesh,
+                                 axis: str = "data") -> dict:
+    """Assemble a global jax.Array batch from each host's local shard.
+
+    Single-host meshes fall back to a plain device_put with the batch
+    sharding; multi-host uses ``make_array_from_process_local_data`` so the
+    global batch spans hosts without gathering through host 0 (the SPMD
+    replacement for the reference's per-rank DataLoader feeding one GPU).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = {}
+    for k, v in local_batch.items():
+        v = np.asarray(v)
+        spec = P(axis, *([None] * (v.ndim - 1))) if v.ndim else P()
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+    return out
+
+
+def split_batch_axis(batch: dict, num: int, index: int) -> dict:
+    """Slice a host batch along axis 0 into ``num`` equal parts and return
+    part ``index`` (utility for feeding per-host pipelines from one cooked
+    array set)."""
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if v.ndim == 0 or v.shape[0] % num:
+            raise ValueError(f"batch axis of {k!r} not divisible by {num}")
+        step = v.shape[0] // num
+        out[k] = v[index * step : (index + 1) * step]
+    return out
+
+
+def describe_topology() -> dict:
+    """Host/device topology snapshot (process_index/count, device kinds) —
+    the observability counterpart of the reference's rank prints."""
+    import jax
+
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_device_count": jax.local_device_count(),
+        "global_device_count": jax.device_count(),
+        "device_kind": jax.devices()[0].device_kind if jax.devices() else None,
+    }

@@ -104,26 +104,112 @@ def test_odgt_train_and_val(tmp_path, rng):
     assert v["img_data"][0].ndim == 4
 
 
-def test_cityscapes_cooker(tmp_path):
+def _cityscapes_fixture(tmp_path):
     gt = tmp_path / "gtFine" / "train" / "city"
     gt.mkdir(parents=True)
+    # person occludes half the car (earlier in the list = painted on top)
     meta = {
         "imgHeight": 100, "imgWidth": 200,
         "objects": [
+            {"label": "person", "polygon": [[40, 10], [90, 10], [90, 70], [40, 70]]},
             {"label": "car", "polygon": [[20, 20], [80, 20], [80, 60], [20, 60]]},
-            {"label": "sky", "polygon": [[0, 0], [199, 0], [199, 10], [0, 10]]},
-            {"label": "license plate", "polygon": [[0, 0], [5, 0], [5, 5]]},
+            {"label": "sky", "polygon": [[0, 0], [199, 0], [199, 9], [0, 9]]},
         ],
     }
     (gt / "city_000000_gtFine_polygons.json").write_text(json.dumps(meta))
+    return str(tmp_path / "gtFine" / "train")
+
+
+def test_cityscapes_object_index_map_occlusion(tmp_path):
+    from fovealseg_tpu.data.cityscapes import object_index_map
+
+    pre = PreprocessCityscapes(
+        _cityscapes_fixture(tmp_path), str(tmp_path / "cook"),
+        canvas_hw=(100, 200), crop_hw=(50, 100))
+    objs = pre.get_objs_ordered("city_000000")
+    oidx, visible = object_index_map(objs, 100, 200)
+    # person (obj 0) wins the overlap with car (obj 1)
+    assert oidx[30, 50] == 0  # inside both polygons -> person
+    assert oidx[30, 25] == 1  # car-only region
+    assert oidx[5, 100] == 2  # sky strip
+    assert oidx[95, 5] == 3   # background sentinel = len(objs)
+    assert set(visible) == {0, 1, 2, 3}
+
+
+def test_cityscapes_find_polygon_label_priority(tmp_path):
+    from fovealseg_tpu.data.cityscapes import find_polygon
+
+    pre = PreprocessCityscapes(
+        _cityscapes_fixture(tmp_path), str(tmp_path / "cook"),
+        canvas_hw=(100, 200), crop_hw=(50, 100))
+    objs = pre.get_objs_ordered("city_000000")
+    # a point inside both person and car resolves to person (priority order)
+    label, poly, idx = find_polygon(objs, (50, 30))  # (x, y)
+    assert label == "person" and idx == 0
+    label, _, idx = find_polygon(objs, (25, 30))  # car-only region
+    assert label == "car" and idx == 1
+    label, _, idx = find_polygon(objs, (150, 95))  # nothing
+    assert label == "" and idx == -1
+
+
+def test_cityscapes_cook_grammar_and_runtime(tmp_path):
+    from fovealseg_tpu.data.cityscapes import LABEL2IDX, convert_index
+
     cook = tmp_path / "cook"
-    pre = PreprocessCityscapes(str(tmp_path / "gtFine" / "train"), str(cook), canvas_hw=(50, 100))
+    pre = PreprocessCityscapes(
+        _cityscapes_fixture(tmp_path), str(cook),
+        canvas_hw=(100, 200), crop_hw=(50, 100), seed=3)
     written = pre.cook()
-    assert len(written) == 2  # license plate is not a train class
+    assert len(written) == 3
+    # filename grammar: {label}_c{idx}_k{idx}_{itemkey}_{gy}x{gx}_1x{H}x{W}
+    stem = next(s for s in written if s.startswith("person"))
+    parts = stem.split("_")
+    assert parts[1] == f"c{LABEL2IDX['person']}" and parts[2] == f"k{LABEL2IDX['person']}"
+    assert parts[3] == "city-000000"
     ds = DatasetCityscapes(str(cook))
+    assert len(ds) == 3
     s = ds[0]
     assert s["img_data"].shape == (50, 100, 3)
-    assert s["seg_label"].sum() > 0
+    assert s["seg_label"].shape == (50, 100)
+    assert 0.0 <= s["focus_point"][0] < 1.0
+    # the gaze pixel was chosen visible, and the crop contains it; the label
+    # is the full target-polygon raster so the gaze pixel must be set
+    gy = int(round(s["focus_point"][0] * 50))
+    gx = int(round(s["focus_point"][1] * 100))
+    assert s["seg_label"][gy, gx] == 1.0
+    # class id goes through the b3 convert_index table
+    kid = int(ds.names[0].split("_")[2][1:])
+    assert s["cls_label"] == convert_index(kid)
+
+
+def test_cityscapes_make_n_samples_round_robin(tmp_path):
+    cook = tmp_path / "cook"
+    pre = PreprocessCityscapes(
+        _cityscapes_fixture(tmp_path), str(cook),
+        canvas_hw=(100, 200), crop_hw=(50, 100), seed=1)
+    # round-robin over the 19-label list; person/car/sky present here
+    stems = pre.make_N_samples(19, marker="m19")
+    labels = {s.split("_")[0] for s in stems}
+    assert labels == {"person", "car", "sky"}
+    assert len(stems) == 3  # 16 of the 19 target classes absent from the frame
+    ds = DatasetCityscapes(str(cook), marker="m19")
+    assert len(ds) == len(stems)
+
+
+def test_cityscapes_convert_index_table():
+    from fovealseg_tpu.data.cityscapes import (
+        IDX2LABEL,
+        LABEL2IDX,
+        convert_index,
+    )
+
+    assert len(IDX2LABEL) == 41 and IDX2LABEL[-1] == "unlabeled"
+    # b3:527-549 spot values: motorcycle(6)->0, rider(2)->1, sky(37)->13
+    assert convert_index(LABEL2IDX["motorcycle"]) == 0
+    assert convert_index(LABEL2IDX["rider"]) == 1
+    assert convert_index(LABEL2IDX["sky"]) == 13
+    assert convert_index(LABEL2IDX["road"]) == 18
+    assert convert_index(40) == 0  # unlabeled falls back to 0
 
 
 def test_cached_dataset_and_prefetch():
