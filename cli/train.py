@@ -52,6 +52,20 @@ def main(argv=None):
     cfg.merge_from_file(args.cfg)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    if cfg.TRAIN.auto_batch == "auto10":
+        # reference auto-batch heuristic (train_deform_semantic.py:627-635):
+        # ~0.65M pixels per device with hrnetv2, epoch_iters = one data pass
+        cfg.TRAIN.batch_size_per_gpu = int(
+            (1e6 * 0.65) // (cfg.DATASET.imgSizes[0] * cfg.DATASET.imgSizes[0])
+        )
+        n_auto = jax.device_count()
+        cfg.TRAIN.num_gpus = n_auto
+        if os.path.isfile(cfg.DATASET.list_train):
+            with open(cfg.DATASET.list_train) as fh:
+                num_data = sum(1 for _ in fh)
+            cfg.TRAIN.epoch_iters = int(
+                num_data // (n_auto * cfg.TRAIN.batch_size_per_gpu)
+            )
     cfg.TRAIN.max_iters = cfg.TRAIN.epoch_iters * cfg.TRAIN.num_epoch
 
     os.makedirs(cfg.DIR, exist_ok=True)

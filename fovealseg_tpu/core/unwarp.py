@@ -142,14 +142,21 @@ def _nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarr
 
 def _nearest_payload(valid: jnp.ndarray, payload: jnp.ndarray,
                      num_iters: int | None = None,
-                     rounds: jnp.ndarray | None = None) -> jnp.ndarray:
+                     rounds: jnp.ndarray | None = None,
+                     cls_bits: int | None = None) -> jnp.ndarray:
     """Payload-carrying dispatch (used by the fast inverse-warp path).
 
     ``rounds`` (optional traced int32 scalar) caps the jump-flood chain at a
     data-derived round count on the Pallas path (see jfa_rounds_from_grid);
     the lax fallback runs the full static chain, which is a superset (same
-    result, CPU-only path)."""
+    result, CPU-only path). ``cls_bits`` (payload < 2**cls_bits) selects the
+    packed one-roll-per-candidate kernel variant."""
     if _use_pallas_jfa():
+        if cls_bits is not None:
+            from fovealseg_tpu.ops.pallas_jfa import nearest_class_pallas
+
+            return nearest_class_pallas(valid, payload, cls_bits, num_iters,
+                                        rounds=rounds)
         from fovealseg_tpu.ops.pallas_jfa import nearest_payload_pallas
 
         return nearest_payload_pallas(valid, payload, num_iters, rounds=rounds)
@@ -295,7 +302,8 @@ def unwarp_argmax_scatter(
     canvas = canvas.reshape(b, hs, ws)
     valid = canvas >= 0
     cls_canvas = jnp.where(valid, canvas % m, 0)
-    return _nearest_payload(valid, cls_canvas, num_iters, rounds)
+    return _nearest_payload(valid, cls_canvas, num_iters, rounds,
+                            cls_bits=m.bit_length() - 1)
 
 
 def unwarp_labels_fast(

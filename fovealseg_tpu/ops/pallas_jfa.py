@@ -3,17 +3,24 @@
 The inverse-warp hole fill (fovealseg_tpu.core.unwarp.nearest_seed_jfa) runs
 ~ceil(log2(max(H,W)))+1 rounds of 8 shifted compares over [H, W] index maps.
 As XLA ops each round re-reads/re-writes HBM; at 640x640 that is ~20 HBM
-round-trips over ~5 MB of state. This kernel keeps the whole state
-(seed_y, seed_x, best-dist) resident in VMEM for the entire chain — one HBM
-read of the validity mask and one write of the result per batch item.
+round-trips over ~5 MB of state. This kernel keeps the whole state resident
+in VMEM for the entire chain — one HBM read of the validity mask and one
+write of the result per batch item.
+
+State packing (the round-2.5 speedup): a seed is one int32
+``(y << XB | x) << CB | payload`` with power-of-2 strides, so each of the 8
+candidates per round costs ONE ``pltpu.roll`` plus shift/and extracts and an
+int32 distance — the earlier formulation rolled three arrays (seed, payload,
+best-distance) and used integer div/mod by the non-pow2 width. Validity is
+the sign bit (-1 = no seed), replacing the rolled best-distance check;
+``best`` is recomputed locally and never shifted. Payloads too wide to pack
+(e.g. flat task indices) fall back to a second rolled array.
 
 Shifts are circular ``pltpu.roll``s with the wrapped lanes masked invalid
-(standard JFA samples nothing beyond the edges), which keeps the unrolled
-round count Mosaic-friendly. ``nearest_payload_pallas`` additionally carries
-an int32 payload with each seed (used by the fast inverse-warp path).
-
-``nearest_seed`` dispatches to the kernel on TPU and falls back to the lax
-implementation elsewhere; both are tested for equivalence.
+(standard JFA samples nothing beyond the edges), which keeps the round body
+Mosaic-friendly. ``nearest_seed`` dispatches to the kernel on TPU and falls
+back to the lax implementation elsewhere; all variants are tested for
+equivalence against the lax chain.
 """
 
 from __future__ import annotations
@@ -26,36 +33,33 @@ import jax.numpy as jnp
 
 from fovealseg_tpu.core.unwarp import nearest_seed_jfa
 
-
-def _shift_clamp(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Static-offset shift of [H, W] with edge clamping via slice+concat."""
-    h, w = x.shape
-    if dy > 0:
-        x = jnp.concatenate([x[dy:], jnp.broadcast_to(x[-1:], (dy, w))], axis=0)
-    elif dy < 0:
-        x = jnp.concatenate([jnp.broadcast_to(x[:1], (-dy, w)), x[:dy]], axis=0)
-    if dx > 0:
-        x = jnp.concatenate([x[:, dx:], jnp.broadcast_to(x[:, -1:], (h, dx))], axis=1)
-    elif dx < 0:
-        x = jnp.concatenate([jnp.broadcast_to(x[:, :1], (h, -dx)), x[:, :dx]], axis=1)
-    return x
+_INT_INF = 2**30  # > any squared pixel distance at <= 1024^2
 
 
 def _jfa_kernel(rounds_ref, valid_ref, payload_ref, out_ref, *, h: int, w: int,
-                max_rounds: int, use_payload: bool):
+                max_rounds: int, mode: str, cls_bits: int):
+    """mode: 'seed' -> out = nearest flat index y*w+x;
+    'payload' -> out = payload of nearest seed (payload rolled alongside);
+    'class'  -> out = payload of nearest seed, payload packed into the seed
+    word (payload < 2**cls_bits required)."""
     from jax.experimental.pallas import tpu as pltpu
+
+    xb = max(1, (w - 1).bit_length())  # pow2 x-stride
+    cb = cls_bits if mode == "class" else 0
+    assert ((h - 1) << xb << cb | (w - 1) << cb) < 2**31 - 1
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     valid = valid_ref[0] != 0
 
-    # seeds packed as y*w + x — halves VMEM-resident state (the 640x640
-    # problem would not fit with separate y/x arrays)
-    inf = jnp.float32(jnp.inf)
-    packed0 = rows * w + cols
-    seed = jnp.where(valid, packed0, 0)
-    pay = jnp.where(valid, payload_ref[0], 0)
-    best = jnp.where(valid, jnp.float32(0), inf)
+    pos0 = (rows << xb) | cols
+    if mode == "class":
+        packed = jnp.where(valid, (pos0 << cb) | payload_ref[0], -1)
+        pay = jnp.zeros((h, w), jnp.int32)  # unused
+    else:
+        packed = jnp.where(valid, pos0, -1)
+        pay = jnp.where(valid, payload_ref[0], 0)
+    best = jnp.where(valid, 0, _INT_INF).astype(jnp.int32)
 
     # runtime-variable chain length (scalar-prefetched): rounds R means steps
     # 2^(R-1), ..., 2, 1, plus the extra final 1-step round — R+1 trips; the
@@ -72,7 +76,7 @@ def _jfa_kernel(rounds_ref, valid_ref, payload_ref, out_ref, *, h: int, w: int,
         return x
 
     def round_body(i, carry):
-        seed, pay, best = carry
+        packed, pay, best = carry
         # k halves each round: first_k, first_k/2, ..., 1, (extra final 1)
         k = jnp.maximum(first_k >> i, 1)
         for sy in (-1, 0, 1):
@@ -84,23 +88,30 @@ def _jfa_kernel(rounds_ref, valid_ref, payload_ref, out_ref, *, h: int, w: int,
                 # candidate at (r, c) reads source (r+dy, c+dx); wrapped
                 # lanes (source out of range) are invalid
                 ok = (rows + dy >= 0) & (rows + dy < h) & (cols + dx >= 0) & (cols + dx < w)
-                cand = roll(seed, dy, dx)
-                cb = roll(best, dy, dx)
-                ddy = (cand // w - rows).astype(jnp.float32)
-                ddx = (cand % w - cols).astype(jnp.float32)
-                d = jnp.where(ok & (cb < inf), ddy * ddy + ddx * ddx, inf)
-                better = d < best
-                seed = jnp.where(better, cand, seed)
-                if use_payload:
+                cand = roll(packed, dy, dx)
+                pos = cand >> cb if cb else cand
+                ddy = (pos >> xb) - rows
+                ddx = (pos & ((1 << xb) - 1)) - cols
+                d = ddy * ddy + ddx * ddx
+                better = ok & (cand >= 0) & (d < best)
+                packed = jnp.where(better, cand, packed)
+                if mode == "payload":
                     pay = jnp.where(better, roll(pay, dy, dx), pay)
                 best = jnp.where(better, d, best)
-        return seed, pay, best
+        return packed, pay, best
 
-    seed, pay, best = jax.lax.fori_loop(0, n_rounds, round_body, (seed, pay, best))
-    out_ref[0] = pay if use_payload else seed
+    packed, pay, best = jax.lax.fori_loop(0, n_rounds, round_body, (packed, pay, best))
+    if mode == "payload":
+        out_ref[0] = pay
+    elif mode == "class":
+        out_ref[0] = jnp.where(packed >= 0, packed & ((1 << cb) - 1), 0)
+    else:
+        pos = jnp.maximum(packed, 0)
+        out_ref[0] = (pos >> xb) * w + (pos & ((1 << xb) - 1))
 
 
-def _pallas_jfa_call(valid, payload, num_iters, interpret, use_payload, rounds=None):
+def _pallas_jfa_call(valid, payload, num_iters, interpret, mode, rounds=None,
+                     cls_bits: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -111,7 +122,7 @@ def _pallas_jfa_call(valid, payload, num_iters, interpret, use_payload, rounds=N
     rounds = jnp.asarray(rounds, jnp.int32).reshape(1)
 
     kernel = functools.partial(_jfa_kernel, h=h, w=w, max_rounds=full,
-                               use_payload=use_payload)
+                               mode=mode, cls_bits=cls_bits)
     # index maps receive the scalar-prefetch ref as a trailing arg
     spec = lambda: pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     kwargs = {}
@@ -142,7 +153,7 @@ def nearest_seed_pallas(valid: jnp.ndarray, num_iters: int | None = None,
                         interpret: bool = False) -> jnp.ndarray:
     """Pallas JFA: valid [B, H, W] bool -> nearest-valid flat index [B, H, W]."""
     return _pallas_jfa_call(valid, jnp.zeros_like(valid, jnp.int32), num_iters,
-                            interpret, use_payload=False)
+                            interpret, mode="seed")
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "interpret"))
@@ -157,7 +168,24 @@ def nearest_payload_pallas(valid: jnp.ndarray, payload: jnp.ndarray,
     pass a data-derived bound (core.unwarp.jfa_rounds_from_grid) to skip
     rounds the hole geometry cannot need."""
     return _pallas_jfa_call(valid, payload, num_iters, interpret,
-                            use_payload=True, rounds=rounds)
+                            mode="payload", rounds=rounds)
+
+
+@functools.partial(jax.jit, static_argnames=("cls_bits", "num_iters", "interpret"))
+def nearest_class_pallas(valid: jnp.ndarray, payload: jnp.ndarray,
+                         cls_bits: int,
+                         num_iters: int | None = None,
+                         interpret: bool = False,
+                         rounds: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Packed-payload JFA for narrow payloads (payload < 2**cls_bits): the
+    payload rides in the seed word, so each candidate costs one roll instead
+    of two. Used by the argmax serving path (class ids)."""
+    b, h, w = valid.shape
+    xb = max(1, (w - 1).bit_length())
+    if ((h - 1) << xb << cls_bits | (w - 1) << cls_bits) >= 2**31 - 1:
+        return nearest_payload_pallas(valid, payload, num_iters, interpret, rounds)
+    return _pallas_jfa_call(valid, payload, num_iters, interpret,
+                            mode="class", rounds=rounds, cls_bits=cls_bits)
 
 
 def nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:

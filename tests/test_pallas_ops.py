@@ -40,3 +40,39 @@ def test_pallas_payload_jfa_matches_lax(rng):
         # every output payload must exist among the valid payloads
         valid_pays = set(payload[b][valid[b]].tolist())
         assert set(pl_out[b].reshape(-1).tolist()) <= valid_pays
+
+
+def test_pallas_class_jfa_matches_payload_variant(rng):
+    from fovealseg_tpu.ops.pallas_jfa import nearest_class_pallas
+
+    valid = rng.uniform(0, 1, (2, 32, 32)) > 0.9
+    valid[:, 0, 0] = True
+    cls = rng.integers(0, 51, (2, 32, 32)).astype(np.int32)
+    packed = np.asarray(
+        nearest_class_pallas(jnp.asarray(valid), jnp.asarray(cls), cls_bits=6,
+                             interpret=True)
+    )
+    two_roll = np.asarray(
+        nearest_payload_pallas(jnp.asarray(valid), jnp.asarray(cls), interpret=True)
+    )
+    # identical candidate order + identical integer distances -> identical
+    # winners, so the packed variant must match the two-roll variant exactly
+    np.testing.assert_array_equal(packed, two_roll)
+
+
+def test_pallas_class_jfa_runtime_rounds(rng):
+    from fovealseg_tpu.ops.pallas_jfa import nearest_class_pallas
+
+    valid = rng.uniform(0, 1, (1, 16, 16)) > 0.7
+    valid[:, 3, 3] = True
+    cls = rng.integers(0, 4, (1, 16, 16)).astype(np.int32)
+    full = np.asarray(
+        nearest_class_pallas(jnp.asarray(valid), jnp.asarray(cls), cls_bits=2,
+                             interpret=True)
+    )
+    capped = np.asarray(
+        nearest_class_pallas(jnp.asarray(valid), jnp.asarray(cls), cls_bits=2,
+                             rounds=jnp.int32(4), interpret=True)
+    )
+    # 4 rounds cover the full 16x16 extent -> same result
+    np.testing.assert_array_equal(full, capped)
