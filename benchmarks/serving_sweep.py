@@ -1,0 +1,68 @@
+"""Serving-path sweep: full-res argmax inference latency/throughput vs batch
+size (SLO view: batch-1 latency up to batch-32 throughput) and per-encoder
+serving rates. Timing: RTT-corrected differential chaining
+(benchmarks/timing.py)."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fovealseg")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from benchmarks.timing import time_op
+from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+
+
+def build(arch="hrnetv2_nodownsp", fc_dim=960):
+    cfg = DeformConfig(
+        task_hw=(80, 80), task_hw_infer=(80, 80), saliency_hw=(80, 80),
+        gaussian_radius=45, num_class=51, arch_encoder=arch, fc_dim=fc_dim,
+    )
+    return DeformSegmentation(config=cfg, dtype=jnp.bfloat16)
+
+
+def measure_serving(module, batch):
+    x = jnp.zeros((batch, 640, 640, 3), jnp.float32)
+    f = jnp.full((batch, 2), 0.5, jnp.float32)
+    shapes = jax.eval_shape(module.init, {"params": jax.random.PRNGKey(0)}, x, f)
+    variables = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+    dt = time_op(
+        lambda x: module.apply(
+            variables, x, f, argmax_labels=True, method=DeformSegmentation.infer
+        )["pred_label"],
+        x, n1=5, n2=25,
+    )
+    return dt
+
+
+def main():
+    out = {"batch_sweep": {}, "encoders": {}}
+    flagship = build()
+    for b in (1, 2, 4, 8, 16, 32):
+        dt = measure_serving(flagship, b)
+        out["batch_sweep"][b] = {
+            "ms_per_batch": round(dt * 1e3, 2),
+            "fps": round(b / dt, 1),
+        }
+        print(f"b{b}: {dt*1e3:.2f} ms, {b/dt:.1f} fps", flush=True)
+    for arch, fc_dim in (
+        ("segformer", 1024),
+        ("deeplab", 960),
+    ):
+        dt = measure_serving(build(arch, fc_dim), 8)
+        out["encoders"][arch] = {
+            "ms_per_batch8": round(dt * 1e3, 2),
+            "fps": round(8 / dt, 1),
+        }
+        print(f"{arch} b8: {dt*1e3:.2f} ms, {8/dt:.1f} fps", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

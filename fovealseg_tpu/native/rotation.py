@@ -255,10 +255,9 @@ class Rotation:
                 safe, a, np.arctan2(eps * m[:, k, j], m[:, j, j])
             )
         else:
-            kk = _AXIS[s[2]]
-            b = np.arcsin(np.clip(eps * m[:, i, kk], -1.0, 1.0))
+            b = np.arcsin(np.clip(eps * m[:, i, k], -1.0, 1.0))
             safe = np.abs(np.cos(b)) > 1e-7
-            a = np.where(safe, np.arctan2(-eps * m[:, j, kk], m[:, kk, kk]), 0.0)
+            a = np.where(safe, np.arctan2(-eps * m[:, j, k], m[:, k, k]), 0.0)
             c = np.where(safe, np.arctan2(-eps * m[:, i, j], m[:, i, i]), 0.0)
             a = np.where(safe, a, np.arctan2(eps * m[:, j, i], m[:, j, j]))
         ang = np.stack([a, b, c], axis=-1)
