@@ -61,6 +61,9 @@ def main(argv=None):
     cfg.merge_from_file(args.cfg)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    from fovealseg_tpu.configs import setup_compile_cache
+
+    setup_compile_cache(cfg)
 
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("fovealseg.eval_odgt")

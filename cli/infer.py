@@ -86,6 +86,9 @@ def main(argv=None):
     cfg.merge_from_file(args.cfg)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    from fovealseg_tpu.configs import setup_compile_cache
+
+    setup_compile_cache(cfg)
 
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else jnp.float32
     dcfg = DeformConfig.from_cfg(cfg)

@@ -52,6 +52,9 @@ def main(argv=None):
     cfg.merge_from_file(args.cfg)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    from fovealseg_tpu.configs import setup_compile_cache
+
+    setup_compile_cache(cfg)
     if cfg.TRAIN.auto_batch == "auto10":
         # reference auto-batch heuristic (train_deform_semantic.py:627-635):
         # ~0.65M pixels per device with hrnetv2, epoch_iters = one data pass

@@ -208,6 +208,9 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.jfa_iters = 0  # 0 → auto (ceil(log2(max(segSize))))
     _C.TPU.profile_dir = ""  # non-empty → capture a jax.profiler device
     # trace of the first training epoch into this directory (SURVEY.md §5)
+    _C.TPU.compile_cache_dir = "~/.cache/jax_fovealseg"  # persistent XLA
+    # compile cache shared by the CLIs ("" disables); first compile of the
+    # flagship graphs is minutes, cached reloads are seconds
     _C.TPU.dropout_rng_impl = "rbg"  # PRNG for the per-step dropout streams.
     # HRNet carries Dropout(0.3) after every conv (reference lines 44-56), so
     # mask generation is on the critical path: threefry costs ~106 ms of the

@@ -174,13 +174,13 @@ class PreprocessCityscapes:
                 if name.endswith("_gtFine_polygons.json"):
                     key = name.replace("_gtFine_polygons.json", "")
                     self.items.append((key, os.path.join(root, name)))
+        self._paths = dict(self.items)
         self._objs_cache: dict[str, list] = {}
         self._oidx_cache: dict[str, tuple] = {}
 
     def get_objs_ordered(self, itemkey: str) -> list:
         if itemkey not in self._objs_cache:
-            path = dict(self.items)[itemkey]
-            with open(path) as f:
+            with open(self._paths[itemkey]) as f:
                 self._objs_cache[itemkey] = json.load(f).get("objects", [])
         return self._objs_cache[itemkey]
 

@@ -65,7 +65,21 @@ def train_one_epoch(
 ) -> tuple[object, dict]:
     from fovealseg_tpu.train.optim import edge_loss_scale_at
 
-    meters = {k: AverageMeter() for k in ("loss", "acc", "edge_loss")}
+    # Per-step metrics stay ON DEVICE during the loop: converting them each
+    # iteration would block the host on the step and serialize dispatch with
+    # the next batch's host->device copy (the reference host-syncs every
+    # iter; here one device_get per disp interval + one at epoch end keeps
+    # transfers and compute overlapped through data/loader.py::prefetch).
+    keys = ("loss", "acc", "edge_loss")
+    pending: list = []  # device-side metric dicts, materialized lazily
+    done: dict[str, list[float]] = {k: [] for k in keys}
+
+    def _materialize():
+        for mets in jax.device_get(pending):
+            for k in keys:
+                done[k].append(float(mets[k]))
+        pending.clear()
+
     tic = time.time()
     i = 0
     for batch in batches:
@@ -74,31 +88,36 @@ def train_one_epoch(
         batch = dict(batch)
         batch["edge_scale"] = jnp.float32(edge_loss_scale_at(cfg, cur_iter, epoch))
         state, mets = train_step(state, batch, sub)
-        meters["loss"].update(mets["loss"])
-        meters["acc"].update(mets["acc"])
-        meters["edge_loss"].update(mets["edge_loss"])
+        pending.append(mets)
         if i % cfg.TRAIN.disp_iter == 0:
+            _materialize()
             lrs = poly_running_lrs(cfg, cur_iter)
             log.info(
                 "Epoch: [%d][%d/%d], Time: %.2f, lr_encoder: %.6f, "
                 "Accuracy: %4.2f, Seg_Loss: %.6f, Edge_Loss: %.6f",
                 epoch, i, cfg.TRAIN.epoch_iters, time.time() - tic,
-                lrs["running_lr_encoder"], meters["acc"].average() * 100,
-                meters["loss"].average(), meters["edge_loss"].average(),
-            )
-        if history_rows is not None:
-            history_rows.append(
-                {
-                    "epoch": epoch - 1 + (i + 1) / cfg.TRAIN.epoch_iters,
-                    "train_loss": meters["loss"].average(),
-                    "train_acc": meters["acc"].average(),
-                    "train_edge_loss": meters["edge_loss"].average(),
-                }
+                lrs["running_lr_encoder"], float(np.mean(done["acc"])) * 100,
+                float(np.mean(done["loss"])), float(np.mean(done["edge_loss"])),
             )
         i += 1
         if i >= cfg.TRAIN.epoch_iters:
             break
-    summary = {k: m.average() for k, m in meters.items()}
+    _materialize()
+    if history_rows is not None:
+        # identical rows to the reference's per-iter running averages
+        # (train_deform_semantic.py:210-235), emitted after the epoch
+        denom = np.arange(1, len(done["loss"]) + 1)
+        running = {k: np.cumsum(done[k]) / denom for k in keys}
+        for j in range(len(done["loss"])):
+            history_rows.append(
+                {
+                    "epoch": epoch - 1 + (j + 1) / cfg.TRAIN.epoch_iters,
+                    "train_loss": float(running["loss"][j]),
+                    "train_acc": float(running["acc"][j]),
+                    "train_edge_loss": float(running["edge_loss"][j]),
+                }
+            )
+    summary = {k: float(np.mean(v)) if v else 0.0 for k, v in done.items()}
     return state, summary
 
 
