@@ -39,10 +39,11 @@ def _iter_image_batches(image_dir, gaze_map, canvas, batch):
     )
     for i in range(0, len(names), batch):
         chunk = names[i : i + batch]
-        if len(chunk) < batch:
-            chunk = chunk + [chunk[-1]] * (batch - len(chunk))  # pad last batch
+        # pad the last batch to the jitted batch size but report/write only
+        # the real frames (names stays short; masks beyond it are dropped)
+        padded = chunk + [chunk[-1]] * (batch - len(chunk))
         imgs, gazes = [], []
-        for n in chunk:
+        for n in padded:
             im = Image.open(os.path.join(image_dir, n)).convert("RGB")
             im = im.resize((canvas, canvas))
             imgs.append(np.asarray(im, np.float32) / 255.0)

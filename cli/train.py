@@ -58,17 +58,17 @@ def main(argv=None):
     if cfg.TRAIN.auto_batch == "auto10":
         # reference auto-batch heuristic (train_deform_semantic.py:627-635):
         # ~0.65M pixels per device with hrnetv2, epoch_iters = one data pass
-        cfg.TRAIN.batch_size_per_gpu = int(
+        cfg.TRAIN.batch_size_per_gpu = max(1, int(
             (1e6 * 0.65) // (cfg.DATASET.imgSizes[0] * cfg.DATASET.imgSizes[0])
-        )
+        ))
         n_auto = jax.device_count()
         cfg.TRAIN.num_gpus = n_auto
         if os.path.isfile(cfg.DATASET.list_train):
             with open(cfg.DATASET.list_train) as fh:
                 num_data = sum(1 for _ in fh)
-            cfg.TRAIN.epoch_iters = int(
+            cfg.TRAIN.epoch_iters = max(1, int(
                 num_data // (n_auto * cfg.TRAIN.batch_size_per_gpu)
-            )
+            ))
     cfg.TRAIN.max_iters = cfg.TRAIN.epoch_iters * cfg.TRAIN.num_epoch
 
     os.makedirs(cfg.DIR, exist_ok=True)
@@ -150,13 +150,27 @@ def main(argv=None):
     else:
         state = replicate_state(state, mesh)
 
-    # resume (TRAIN.start_epoch, train_deform_semantic.py:649-658)
+    # resume (TRAIN.start_epoch, train_deform_semantic.py:649-658);
+    # TRAIN.auto_resume additionally restarts from epoch_last when the run
+    # dir already holds one (preemption-safe restart — beyond-reference)
+    restored = None
+    if (cfg.TRAIN.start_epoch == 0 and cfg.TRAIN.auto_resume
+            and os.path.isdir(os.path.join(cfg.DIR, "epoch_last"))):
+        from fovealseg_tpu.train import checkpoint as ckpt
+
+        restored = ckpt.load_checkpoint(cfg.DIR, "last", state)
+        cfg.TRAIN.start_epoch = int(
+            np.asarray(restored["step"]) // max(cfg.TRAIN.epoch_iters, 1)
+        )
+        log.info("auto-resume: epoch_last found, start_epoch=%d",
+                 cfg.TRAIN.start_epoch)
     if cfg.TRAIN.start_epoch > 0:
         from fovealseg_tpu.train import checkpoint as ckpt
 
         epoch = cfg.TRAIN.start_epoch
         name = epoch if os.path.exists(os.path.join(cfg.DIR, f"epoch_{epoch}")) else "last"
-        restored = ckpt.load_checkpoint(cfg.DIR, name, state)
+        if restored is None:
+            restored = ckpt.load_checkpoint(cfg.DIR, name, state)
         from fovealseg_tpu.train.step import TrainState
 
         restored_state = TrainState(

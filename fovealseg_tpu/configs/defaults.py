@@ -76,6 +76,9 @@ def get_default_cfg() -> CfgNode:
     # ------------------------------------------------------------------ TRAIN
     _C.TRAIN = CfgNode()
     _C.TRAIN.auto_batch = "manual"
+    _C.TRAIN.auto_resume = False  # rebuild extra: when start_epoch==0 and
+    # {DIR}/epoch_last exists, resume from it (start_epoch derived from the
+    # checkpointed step) — preemption-safe restart for unattended runs
     _C.TRAIN.gpu_threshold = 0.65e6
     _C.TRAIN.batch_size_per_gpu = 1
     _C.TRAIN.num_gpus = 1

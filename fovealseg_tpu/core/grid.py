@@ -178,6 +178,27 @@ class GridSolver:
         return grid, grid_y
 
 
+def landing_scatter_max(grid: jnp.ndarray, seg_hw: tuple[int, int],
+                        values: jnp.ndarray) -> jnp.ndarray:
+    """Scatter per-task-pixel ``values`` [B, th*tw] int32 to the full-res
+    landing positions of the forward grid, max-reducing collisions.
+
+    This is THE landing-position convention of the inverse warp (truncated
+    integer coordinates of the unnormalized grid, models/models.py:640-647);
+    every consumer (``inverse_grid_index``, the argmax serving scatter) goes
+    through here so collision winners stay consistent. Returns
+    [B, Hs, Ws] int32 with -1 where nothing landed.
+    """
+    b, th, tw, _ = grid.shape
+    hs, ws = seg_hw
+    u = jnp.floor((grid[..., 0] + 1.0) / 2.0 * (ws - 1)).astype(jnp.int32)
+    v = jnp.floor((grid[..., 1] + 1.0) / 2.0 * (hs - 1)).astype(jnp.int32)
+    target = (v * ws + u).reshape(b, th * tw)
+    canvas = jnp.full((b, hs * ws), -1, dtype=jnp.int32)
+    canvas = canvas.at[jnp.arange(b)[:, None], target].max(values)
+    return canvas.reshape(b, hs, ws)
+
+
 def inverse_grid_index(grid: jnp.ndarray, seg_hw: tuple[int, int]) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Scatter-based inverse map as raw flat task indices.
 
@@ -186,15 +207,8 @@ def inverse_grid_index(grid: jnp.ndarray, seg_hw: tuple[int, int]) -> tuple[jnp.
     this; the fast inverse-warp path consumes the indices directly.
     """
     b, th, tw, _ = grid.shape
-    hs, ws = seg_hw
-    u = jnp.floor((grid[..., 0] + 1.0) / 2.0 * (ws - 1)).astype(jnp.int32)
-    v = jnp.floor((grid[..., 1] + 1.0) / 2.0 * (hs - 1)).astype(jnp.int32)
-    target = (v * ws + u).reshape(b, th * tw)
-
     flat_task = jnp.broadcast_to(jnp.arange(th * tw, dtype=jnp.int32)[None], (b, th * tw))
-    canvas = jnp.full((b, hs * ws), -1, dtype=jnp.int32)
-    canvas = canvas.at[jnp.arange(b)[:, None], target].max(flat_task)
-    canvas = canvas.reshape(b, hs, ws)
+    canvas = landing_scatter_max(grid, seg_hw, flat_task)
     return canvas, canvas >= 0
 
 

@@ -285,21 +285,17 @@ def unwarp_argmax_scatter(
     pred: [B, th, tw, C]; grid: forward warp grid [B, th, tw, 2].
     Returns [B, Hs, Ws] int32 class ids.
     """
+    from fovealseg_tpu.core.grid import landing_scatter_max
+
     b, th, tw, c = pred.shape
-    hs, ws = seg_hw
     m = 1 << max(1, (c - 1).bit_length())  # next pow2 > num_class - 1
     assert th * tw * m < 2**31, "combined scatter key overflows int32"
     cls2 = jnp.argmax(halfpixel_avg(pred), axis=-1).astype(jnp.int32)
-    u = jnp.floor((grid[..., 0] + 1.0) / 2.0 * (ws - 1)).astype(jnp.int32)
-    v = jnp.floor((grid[..., 1] + 1.0) / 2.0 * (hs - 1)).astype(jnp.int32)
-    target = (v * ws + u).reshape(b, th * tw)
     flat_task = jnp.broadcast_to(
         jnp.arange(th * tw, dtype=jnp.int32)[None], (b, th * tw)
     )
     combined = flat_task * m + cls2.reshape(b, th * tw)
-    canvas = jnp.full((b, hs * ws), -1, dtype=jnp.int32)
-    canvas = canvas.at[jnp.arange(b)[:, None], target].max(combined)
-    canvas = canvas.reshape(b, hs, ws)
+    canvas = landing_scatter_max(grid, seg_hw, combined)
     valid = canvas >= 0
     cls_canvas = jnp.where(valid, canvas % m, 0)
     return _nearest_payload(valid, cls_canvas, num_iters, rounds,

@@ -28,6 +28,15 @@ def wrap_name(name: str) -> str:
     return name.replace(" ", "-")
 
 
+def _stable_seed(key: str) -> int:
+    """Process-independent seed for synthetic fallbacks (built-in hash() is
+    PYTHONHASHSEED-randomized, which would make 'deterministic' synthetic
+    frames differ across runs)."""
+    import zlib
+
+    return zlib.crc32(key.encode())
+
+
 # b3 get_labels_ordered (b3_preprocess_cityscapes.py:194-265): the 41-entry
 # priority-ordered label list (most important first; index 40 = unlabeled).
 IDX2LABEL = [wrap_name(n) for n in [
@@ -177,6 +186,7 @@ class PreprocessCityscapes:
         self._paths = dict(self.items)
         self._objs_cache: dict[str, list] = {}
         self._oidx_cache: dict[str, tuple] = {}
+        self._frame_index: dict[str, str] | None = None  # built on first use
 
     def get_objs_ordered(self, itemkey: str) -> list:
         if itemkey not in self._objs_cache:
@@ -203,15 +213,22 @@ class PreprocessCityscapes:
     def _load_frame(self, itemkey: str) -> np.ndarray:
         """uint8 [H, W, 3] leftImg8bit frame (synthetic texture if absent)."""
         if self.image_dir:
-            from PIL import Image
+            if self._frame_index is None:
+                self._frame_index = {}
+                for root, _, files in os.walk(self.image_dir):
+                    for f in files:
+                        if f.endswith("_leftImg8bit.png"):
+                            self._frame_index[f.split("_leftImg8bit")[0]] = (
+                                os.path.join(root, f)
+                            )
+            path = self._frame_index.get(itemkey)
+            if path:
+                from PIL import Image
 
-            for root, _, files in os.walk(self.image_dir):
-                name = itemkey + "_leftImg8bit.png"
-                if name in files:
-                    im = Image.open(os.path.join(root, name)).convert("RGB")
-                    im = im.resize((self.canvas_hw[1], self.canvas_hw[0]))
-                    return np.asarray(im, np.uint8)
-        rng = np.random.default_rng(abs(hash(itemkey)) % (2**31))
+                im = Image.open(path).convert("RGB")
+                im = im.resize((self.canvas_hw[1], self.canvas_hw[0]))
+                return np.asarray(im, np.uint8)
+        rng = np.random.default_rng(_stable_seed(itemkey))
         return rng.integers(0, 256, (*self.canvas_hw, 3), dtype=np.uint8)
 
     def make_a_sample(self, itemkey: str, idx_h: int, idx_w: int,
@@ -322,7 +339,7 @@ class DatasetCityscapes:
         if os.path.exists(xp):
             x = np.load(xp).astype(np.float32) / 255.0
         else:
-            rng = np.random.default_rng(abs(hash(itemkey)) % (2**31))
+            rng = np.random.default_rng(_stable_seed(itemkey))
             x = rng.uniform(0, 1, (*y.shape, 3)).astype(np.float32)
         gy, gx = map(int, fpos.split("x"))
         h, w = y.shape

@@ -148,7 +148,8 @@ def cdist(XA, XB, metric: str = "euclidean", *, p: float = 2.0, V=None,
 def squareform(X, force: str = "no", checks: bool = True):
     """Convert condensed <-> square distance representations."""
     X = np.ascontiguousarray(X, dtype=np.float64)
-    if X.ndim == 1 and force != "tomatrix" or force == "tomatrix":
+    to_matrix = X.ndim == 1 if force == "no" else force == "tomatrix"
+    if to_matrix:
         if X.ndim != 1:
             raise ValueError("tomatrix requires a condensed 1-D vector")
         m = X.shape[0]

@@ -40,20 +40,26 @@ def initialize(coordinator_address: Optional[str] = None,
     PROCESS_ID); on a single process (or when already initialized) this is a
     no-op. Returns True when a multi-process runtime is (already) up.
     """
-    import jax
-
-    if jax.process_count() > 1:
-        return True  # already initialized by a prior call / launcher
+    # resolve arguments BEFORE importing/touching jax: any backend-
+    # initializing call (even jax.process_count()) would make
+    # jax.distributed.initialize() unusable afterwards
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", "1"))
     process_id = process_id if process_id is not None else int(os.environ.get("PROCESS_ID", "0"))
     if num_processes <= 1 or not coordinator_address:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # already initialized by a launcher / prior call
+        if "already" not in str(e).lower():
+            raise
     return True
 
 
@@ -76,7 +82,11 @@ def host_shard_indices(n: int, num_replicas: int, rank: int,
         order = np.random.default_rng(seed + epoch).permutation(n)
     else:
         order = np.arange(n)
-    order = np.concatenate([order, order[: total - n]])
+    # wrap-around padding to total; tiled so n < num_replicas still gives
+    # every rank a full shard (the reference's single-wrap 'indices +=
+    # indices[:pad]' asserts instead of handling that case)
+    reps = -(-total // max(n, 1))
+    order = np.tile(order, reps)[:total]
     return order[rank * num_samples : (rank + 1) * num_samples]
 
 

@@ -1,0 +1,42 @@
+"""TRAIN.auto_resume: restart from {DIR}/epoch_last without start_epoch."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = (
+    "'TRAIN.task_input_size','(16,16)','TRAIN.saliency_input_size','(16,16)',"
+    "'MODEL.arch_encoder','hrnetv2_nodownsp_tiny','MODEL.gaussian_radius','5',"
+    "'TRAIN.batch_size_per_gpu','2','TRAIN.epoch_iters','2',"
+    "'TRAIN.eval_per_epoch','100',"
+)
+
+
+def _run(run_dir, num_epoch, extra=""):
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import runpy, sys;"
+        "sys.argv=['train.py','--cfg','fovealseg_tpu/configs/deform.yaml',"
+        "'--data','synthetic',"
+        f"'DIR',{str(run_dir)!r},'TRAIN.num_epoch',{str(num_epoch)!r}," + TINY + extra +
+        "];"
+        "runpy.run_path('cli/train.py', run_name='__main__')"
+    )
+    return subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                          capture_output=True, text=True, timeout=900)
+
+
+def test_auto_resume_restarts_from_epoch_last(tmp_path):
+    run = tmp_path / "run"
+    p1 = _run(run, "2")
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    assert (run / "epoch_last").is_dir()
+    # second invocation: same DIR, more epochs, auto_resume on
+    p2 = _run(run, "3", "'TRAIN.auto_resume','True',")
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    logged = (run / "train.log").read_text()
+    assert "auto-resume: epoch_last found, start_epoch=2" in logged
+    # the resumed run trained exactly epoch 3
+    assert "epoch 3 train:" in logged

@@ -76,3 +76,10 @@ def test_split_batch_axis_and_topology():
     topo = describe_topology()
     assert topo["process_count"] == 1 and topo["local_device_count"] == 8
     assert initialize() is False  # single-host no-op
+
+
+def test_small_dataset_still_fills_every_rank():
+    # n < num_replicas: tiled wrap padding must give every rank a full shard
+    shards = [host_shard_indices(3, 8, r, shuffle=False) for r in range(8)]
+    assert all(len(s) == 1 for s in shards)
+    assert set(np.concatenate(shards).tolist()) == {0, 1, 2}

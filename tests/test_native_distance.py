@@ -99,3 +99,12 @@ def test_two_vector_functions(rng):
 def test_unknown_metric_raises():
     with pytest.raises(ValueError):
         ndist.pdist(np.zeros((3, 2)), "nope")
+
+
+def test_squareform_force_validation():
+    # force='tovector' on a 1-D condensed vector must raise (scipy behavior),
+    # not silently return a matrix
+    with pytest.raises(ValueError):
+        ndist.squareform(np.array([1.0, 2.0, 3.0]), force="tovector")
+    with pytest.raises(ValueError):
+        ndist.squareform(np.zeros((3, 3)), force="tomatrix")
