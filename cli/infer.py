@@ -69,6 +69,8 @@ def main(argv=None):
     parser.add_argument("--out", default=None, help="write masks here")
     parser.add_argument("--png", action="store_true", help="also write palette previews")
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard each batch over N devices (0 = single device)")
     parser.add_argument("--canvas", type=int, default=640)
     parser.add_argument("--num-batches", type=int, default=4, help="synthetic batches when --images absent")
     parser.add_argument("--torch-ckpt", default=None)
@@ -106,13 +108,34 @@ def main(argv=None):
             args.torch_ckpt, args.torch_epoch, params, stats
         )
 
-    @jax.jit
-    def serve(params, stats, x, f):
+    def serve_fn(params, stats, x, f):
         out = module.apply(
             {"params": params, "batch_stats": stats}, x, f,
             argmax_labels=True, method=DeformSegmentation.infer,
         )
         return out["pred_label"]
+
+    if args.mesh > 1:
+        # batch-sharded GSPMD serving: params replicated, batch split over
+        # the data axis; XLA inserts the collectives (none are needed — the
+        # pipeline is batch-elementwise, so this is embarrassingly parallel
+        # scale-out across chips)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fovealseg_tpu.parallel.mesh import make_mesh
+
+        if args.batch % args.mesh:
+            raise SystemExit("--batch must be divisible by --mesh")
+        mesh = make_mesh(args.mesh)
+        repl = NamedSharding(mesh, P())
+        split = NamedSharding(mesh, P("data"))
+        serve = jax.jit(
+            serve_fn,
+            in_shardings=(repl, repl, split, split),
+            out_shardings=split,
+        )
+    else:
+        serve = jax.jit(serve_fn)
 
     if args.images:
         gaze_map = {}
