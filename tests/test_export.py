@@ -1,0 +1,59 @@
+"""StableHLO export artifact: serialize -> deserialize -> call round-trip."""
+
+import importlib.util
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_export_roundtrip_matches_live_module(tmp_path, rng):
+    spec = importlib.util.spec_from_file_location(
+        "cli_export", os.path.join(REPO, "cli", "export.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = tmp_path / "model.stablehlo"
+    m.main([
+        "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
+        "--out", str(out), "--batch", "2", "--canvas", "48",
+        "TRAIN.task_input_size", "(12,12)",
+        "TRAIN.saliency_input_size", "(12,12)",
+        "MODEL.arch_encoder", "hrnetv2_nodownsp_tiny",
+        "MODEL.gaussian_radius", "5", "TPU.compute_dtype", "float32",
+    ])
+    assert out.stat().st_size > 1_000_000  # weights are embedded
+
+    from jax import export
+
+    fn = export.deserialize(out.read_bytes()).call
+    x = jnp.asarray(rng.uniform(0, 1, (2, 48, 48, 3)), jnp.float32)
+    f = jnp.asarray([[0.5, 0.5], [0.3, 0.7]], jnp.float32)
+    masks = np.asarray(fn(x, f))
+    assert masks.shape == (2, 48, 48) and masks.dtype == np.int32
+
+    # the artifact must reproduce the live module exactly (same init seed)
+    import jax
+
+    from fovealseg_tpu.configs import get_default_cfg
+    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"))
+    cfg.merge_from_list([
+        "TRAIN.task_input_size", "(12,12)",
+        "TRAIN.saliency_input_size", "(12,12)",
+        "MODEL.arch_encoder", "hrnetv2_nodownsp_tiny",
+        "MODEL.gaussian_radius", "5", "TPU.compute_dtype", "float32",
+    ])
+    module = DeformSegmentation(config=DeformConfig.from_cfg(cfg))
+    variables = module.init(
+        {"params": jax.random.PRNGKey(cfg.TRAIN.seed)},
+        jnp.zeros((2, 48, 48, 3)), jnp.full((2, 2), 0.5),
+    )
+    live = module.apply(
+        variables, x, f, argmax_labels=True, method=DeformSegmentation.infer
+    )["pred_label"]
+    np.testing.assert_array_equal(masks, np.asarray(live))
