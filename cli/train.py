@@ -25,7 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     parser = argparse.ArgumentParser(description="fovealseg-tpu training")
     parser.add_argument("--cfg", required=True, metavar="FILE")
-    parser.add_argument("--gpus", default="0", help="accepted for parity; ignored (SPMD)")
+    parser.add_argument("--gpus", default=None,
+                        help="reference device grammar ('0-3', 'gpu0,gpu1'); "
+                             "sizes the data mesh (first N local devices). "
+                             "Default: all devices")
     parser.add_argument("--data", default="synthetic", help="'synthetic', or path to a cooked LVIS dir")
     parser.add_argument("--image-root", default=None, help="COCO image dir for cooked LVIS data")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
@@ -89,12 +92,18 @@ def main(argv=None):
     # reference's DDP equivalent).
     mesh_shape = tuple(cfg.TPU.mesh_shape)
     use_2d = len(mesh_shape) == 2 and all(s > 0 for s in mesh_shape)
+    # --gpus (reference grammar, utils.py:341-361) sizes the 1-D data mesh
+    n_requested = None
+    if args.gpus is not None and not use_2d:
+        from fovealseg_tpu.utils.misc import parse_devices
+
+        n_requested = min(len(parse_devices(args.gpus)), jax.device_count())
     if use_2d:
         from fovealseg_tpu.parallel.mesh import make_mesh_2d
 
         mesh = make_mesh_2d(dp=mesh_shape[0], mp=mesh_shape[1])
     else:
-        mesh = make_mesh()
+        mesh = make_mesh(n_requested)
     n_dev = mesh.devices.size
     axis = cfg.TPU.data_axis
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else jnp.float32

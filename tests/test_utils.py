@@ -131,3 +131,43 @@ def test_ade_metadata_surface(tmp_path):
     assert (pal[-1] == 0).all()  # background black
     img = color_encode([[0, 1], [2, 50]], 51)
     assert img.shape == (2, 2, 3)
+
+
+def test_parse_devices_reference_grammar():
+    from fovealseg_tpu.utils.misc import NotSupportedCliException, parse_devices
+
+    assert parse_devices("0-3") == ["gpu0", "gpu1", "gpu2", "gpu3"]
+    assert parse_devices("gpu0,gpu2") == ["gpu0", "gpu2"]
+    assert parse_devices("0,1,1") == ["gpu0", "gpu1"]  # dedup
+    assert parse_devices("gpu3-gpu1") == ["gpu1", "gpu2", "gpu3"]  # reversed
+    import pytest
+
+    with pytest.raises(NotSupportedCliException):
+        parse_devices("tpu0")
+
+
+def test_misc_utils(tmp_path):
+    import numpy as np
+
+    from fovealseg_tpu.utils.misc import (
+        accuracy_ltds,
+        find_recursive,
+        preprocessing_accuracy,
+    )
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "x.jpg").write_bytes(b"")
+    (tmp_path / "y.jpg").write_bytes(b"")
+    (tmp_path / "z.png").write_bytes(b"")
+    assert len(find_recursive(str(tmp_path), ".jpg")) == 2
+
+    preds = np.array([1, 0, 1, 1])
+    label = np.array([1, 0, -1, 0])
+    acc, n = accuracy_ltds(preds, label)
+    assert n == 3 and abs(acc - 2 / 3) < 1e-6
+
+    lt, lp = preprocessing_accuracy(
+        np.array([0, 1, 8, 2]), np.array([0.6, 0.4, 0.9, 0.2]), n_class=2
+    )
+    # label 8 masked, label 2 out of range masked
+    assert lt.tolist() == [0, 1] and lp.tolist() == [1, 0]
