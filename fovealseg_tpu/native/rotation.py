@@ -245,21 +245,23 @@ class Rotation:
             b = np.arccos(np.clip(m[:, i, i], -1.0, 1.0))
             safe = np.abs(np.sin(b)) > 1e-7
             a = np.where(safe, np.arctan2(m[:, j, i], -eps * m[:, k, i]), 0.0)
-            c = np.where(
-                safe,
-                np.arctan2(m[:, i, j], eps * m[:, i, k]),
-                # gimbal lock: only a +/- c observable; put it all in a
-                0.0,
-            )
-            a = np.where(
-                safe, a, np.arctan2(eps * m[:, k, j], m[:, j, j])
-            )
+            c = np.where(safe, np.arctan2(m[:, i, j], eps * m[:, i, k]), 0.0)
         else:
             b = np.arcsin(np.clip(eps * m[:, i, k], -1.0, 1.0))
             safe = np.abs(np.cos(b)) > 1e-7
             a = np.where(safe, np.arctan2(-eps * m[:, j, k], m[:, k, k]), 0.0)
             c = np.where(safe, np.arctan2(-eps * m[:, i, j], m[:, i, i]), 0.0)
-            a = np.where(safe, a, np.arctan2(eps * m[:, j, i], m[:, j, j]))
+        if not safe.all():
+            # gimbal lock: with c := 0 the rotation is exactly
+            # R = Ri(a) Rj(b) with b known, so a is read off the elementary
+            # rotation M2 = m @ Rj(-b): about axis i, M2[q, p] = sin(a),
+            # M2[p, p] = cos(a) with (p, q) = the cyclic successors of i.
+            # (A sign-blind closed form here mis-reconstructs half the lock
+            # cases because which of a+c / a-c is observable flips with
+            # sign(b).)
+            p, q = (i + 1) % 3, (i + 2) % 3
+            m2 = m @ _elem_matrix(j, -b)
+            a = np.where(safe, a, np.arctan2(m2[:, q, p], m2[:, p, p]))
         ang = np.stack([a, b, c], axis=-1)
         if not intrinsic:
             ang = ang[:, ::-1]
