@@ -9,16 +9,30 @@ Surface map to the reference package:
 - ``voronoi``  -> _voronoi.pyx (sort_vertices_of_regions)
 """
 
-from fovealseg_tpu.native.spatial import Delaunay, directed_hausdorff, nearest_neighbor
+from fovealseg_tpu.native.spatial import (
+    ConvexHull,
+    Delaunay,
+    HalfspaceIntersection,
+    Voronoi,
+    directed_hausdorff,
+    nearest_neighbor,
+    procrustes,
+    tsearch,
+)
 from fovealseg_tpu.native import distance
 from fovealseg_tpu.native.kdtree import KDTree, cKDTree
 from fovealseg_tpu.native.rotation import Rotation, Slerp
 from fovealseg_tpu.native.voronoi import sort_vertices_of_regions
 
 __all__ = [
+    "ConvexHull",
     "Delaunay",
+    "HalfspaceIntersection",
+    "Voronoi",
     "directed_hausdorff",
     "nearest_neighbor",
+    "procrustes",
+    "tsearch",
     "distance",
     "KDTree",
     "cKDTree",

@@ -266,6 +266,43 @@ void nearest_neighbor(const double* points, int n, const double* queries,
   }
 }
 
+// Planar convex hull by Andrew's monotone chain (qhull.pyx ConvexHull
+// equivalent for the 2-D case the framework uses).  Writes the hull vertex
+// indices in counterclockwise order into out_idx (caller buffer of size n)
+// and returns the hull size.  Collinear boundary points are dropped
+// (matching qhull's default, which keeps only extreme points).
+int convex_hull(const double* points, int n, int32_t* out_idx) {
+  if (n <= 0) return 0;
+  std::vector<int> order(n);
+  for (int i = 0; i < n; i++) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    double ax = points[2 * a], ay = points[2 * a + 1];
+    double bx = points[2 * b], by = points[2 * b + 1];
+    return ax < bx || (ax == bx && ay < by);
+  });
+  auto cross = [&](int o, int a, int b) {
+    double ox = points[2 * o], oy = points[2 * o + 1];
+    return (points[2 * a] - ox) * (points[2 * b + 1] - oy) -
+           (points[2 * a + 1] - oy) * (points[2 * b] - ox);
+  };
+  std::vector<int> h(2 * n);
+  int k = 0;
+  for (int ii = 0; ii < n; ii++) {  // lower chain
+    int i = order[ii];
+    while (k >= 2 && cross(h[k - 2], h[k - 1], i) <= 0) k--;
+    h[k++] = i;
+  }
+  int lower = k + 1;
+  for (int ii = n - 2; ii >= 0; ii--) {  // upper chain
+    int i = order[ii];
+    while (k >= lower && cross(h[k - 2], h[k - 1], i) <= 0) k--;
+    h[k++] = i;
+  }
+  int m = (n == 1) ? 1 : k - 1;  // last point == first point
+  for (int i = 0; i < m; i++) out_idx[i] = h[i];
+  return m;
+}
+
 // Directed Hausdorff distance from set A (na x 2) to set B (nb x 2) with the
 // standard early-break scan (spatial/_hausdorff.pyx:23 equivalent).
 double directed_hausdorff(const double* a, int na, const double* b, int nb) {

@@ -129,3 +129,122 @@ def test_unwarp_prediction_tri_constant(rng):
     inner_valid = out[0][hit & (np.arange(36)[:, None] > 2) & (np.arange(36)[:, None] < 33)]
     frac_exact = np.isclose(inner_valid, 2.5, atol=1e-5).mean()
     assert frac_exact > 0.6, frac_exact
+
+
+# ---------------------------------------------------------------------------
+# Round-2.6: the rest of the qhull public surface (spatial/qhull.pyx __all__ =
+# [Delaunay, ConvexHull, Voronoi, HalfspaceIntersection, tsearch]) plus the
+# procrustes export from spatial/__init__.py's documented namespace — each
+# checked against the real scipy.spatial as oracle.
+# ---------------------------------------------------------------------------
+
+
+def test_convex_hull_scipy_exact(rng):
+    from scipy.spatial import ConvexHull as SciHull
+    from fovealseg_tpu.native import ConvexHull
+
+    for n in (5, 17, 64, 200):
+        pts = rng.standard_normal((n, 2))
+        ours, ref = ConvexHull(pts), SciHull(pts)
+        assert set(ours.vertices) == set(ref.vertices)
+        v1, v2 = list(ours.vertices), list(ref.vertices)
+        v1 = v1[v1.index(v2[0]):] + v1[:v1.index(v2[0])]  # cyclic CCW match
+        assert v1 == v2
+        np.testing.assert_allclose(ours.volume, ref.volume)
+        np.testing.assert_allclose(ours.area, ref.area)
+
+
+def test_convex_hull_degenerate():
+    from fovealseg_tpu.native import ConvexHull
+
+    with np.testing.assert_raises(ValueError):
+        ConvexHull(np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]]))  # collinear
+    with np.testing.assert_raises(ValueError):
+        ConvexHull(np.array([[0.0, 0.0], [1.0, 1.0]]))
+
+
+def test_voronoi_structure_vs_scipy(rng):
+    from scipy.spatial import Voronoi as SciVor
+    from fovealseg_tpu.native import Voronoi
+
+    for n in (6, 25, 80):
+        pts = rng.standard_normal((n, 2))
+        ours, ref = Voronoi(pts), SciVor(pts)
+        a = np.unique(np.round(ours.vertices, 6), axis=0)
+        b = np.unique(np.round(ref.vertices, 6), axis=0)
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        rp1 = set(map(tuple, np.sort(ours.ridge_points, axis=1)))
+        rp2 = set(map(tuple, np.sort(ref.ridge_points, axis=1)))
+        assert rp1 == rp2
+        for i in range(n):
+            r1 = ours.regions[ours.point_region[i]]
+            r2 = ref.regions[ref.point_region[i]]
+            assert (-1 in r1) == (-1 in r2)  # bounded-ness agrees per cell
+            if -1 in r1:
+                continue
+            c1 = np.unique(np.round(ours.vertices[[x for x in r1 if x >= 0]], 6), axis=0)
+            c2 = np.unique(np.round(ref.vertices[[x for x in r2 if x >= 0]], 6), axis=0)
+            assert len(c1) == len(c2)
+            np.testing.assert_allclose(c1, c2, atol=1e-6)
+
+
+def test_voronoi_regions_sortable(rng):
+    """Our Voronoi output feeds sort_vertices_of_regions-style consumers:
+    every bounded region is a simple polygon around its generator (angularly
+    sorted by construction)."""
+    from fovealseg_tpu.native import Voronoi
+
+    pts = rng.standard_normal((40, 2))
+    v = Voronoi(pts)
+    for i in range(len(pts)):
+        r = v.regions[v.point_region[i]]
+        if -1 in r or not r:
+            continue
+        centers = v.vertices[r]
+        ang = np.arctan2(centers[:, 1] - pts[i, 1], centers[:, 0] - pts[i, 0])
+        d = np.diff(np.concatenate([ang, ang[:1] + 2 * np.pi]))
+        assert ((d >= 0) | np.isclose(d, 0)).all()
+
+
+def test_halfspace_intersection_vs_scipy():
+    from scipy.spatial import HalfspaceIntersection as SciHI
+    from fovealseg_tpu.native import HalfspaceIntersection
+
+    hs = np.array([
+        [-1.0, 0.0, 0.0],    # x >= 0
+        [0.0, -1.0, 0.0],    # y >= 0
+        [1.0, 1.0, -2.0],    # x + y <= 2
+        [1.0, -0.3, -1.5],   # x - 0.3y <= 1.5
+        [1.0, 0.0, -10.0],   # non-binding
+    ])
+    ip = np.array([0.5, 0.5])
+    ours, ref = HalfspaceIntersection(hs, ip), SciHI(hs, ip)
+    a = np.unique(np.round(ours.intersections, 6), axis=0)
+    b = np.unique(np.round(ref.intersections, 6), axis=0)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    with np.testing.assert_raises(ValueError):
+        HalfspaceIntersection(hs, np.array([5.0, 5.0]))  # not interior
+
+
+def test_procrustes_vs_scipy(rng):
+    from scipy.spatial import procrustes as sci_proc
+    from fovealseg_tpu.native import procrustes
+
+    d1 = rng.standard_normal((12, 3))
+    d2 = 3.0 * d1 @ np.linalg.qr(rng.standard_normal((3, 3)))[0] + 1.5
+    m1, m2, disp = procrustes(d1, d2)
+    s1, s2, sd = sci_proc(d1, d2)
+    np.testing.assert_allclose(m1, s1, atol=1e-10)
+    np.testing.assert_allclose(m2, s2, atol=1e-10)
+    np.testing.assert_allclose(disp, sd, atol=1e-12)
+    assert disp < 1e-12  # similarity transform is fully recoverable
+
+
+def test_tsearch_alias(rng):
+    from fovealseg_tpu.native import Delaunay, tsearch
+
+    tri = Delaunay(rng.random((30, 2)))
+    q = rng.random((64, 2)) * 1.2 - 0.1  # some outside -> -1
+    np.testing.assert_array_equal(tsearch(tri, q), tri.find_simplex(q))
