@@ -63,6 +63,10 @@ def main(argv=None):
 
     dc = DeformConfig.from_cfg(cfg)
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.TPU.conv_pack:
+        from fovealseg_tpu.models.layers import set_conv_packing
+
+        set_conv_packing(True)  # trace-time flag; eval is forward-only
     module = DeformSegmentation(config=dc, dtype=dtype)
     tx = create_optimizer(cfg)
     bg = cfg.DATASET.num_class - 1

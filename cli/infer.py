@@ -94,6 +94,10 @@ def main(argv=None):
     setup_compile_cache(cfg)
 
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.TPU.conv_pack:
+        from fovealseg_tpu.models.layers import set_conv_packing
+
+        set_conv_packing(True)  # trace-time flag; set before any jit below
     dcfg = DeformConfig.from_cfg(cfg)
     module = DeformSegmentation(config=dcfg, dtype=dtype)
 

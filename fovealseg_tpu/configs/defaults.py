@@ -214,6 +214,13 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.compile_cache_dir = "~/.cache/jax_fovealseg"  # persistent XLA
     # compile cache shared by the CLIs ("" disables); first compile of the
     # flagship graphs is minutes, cached reloads are seconds
+    _C.TPU.conv_pack = False  # opt-in output-pixel conv packing: rewrite
+    # 64-channel same-size 3x3 convs as (3,6)-kernel stride-(1,4) convs with
+    # 4 output pixels packed into channels, filling the MXU's 128 output
+    # lanes. 2.5x on an *isolated* conv but measured slower inside the fused
+    # flagship encoder (9.47 -> 10.42 ms/b8), hence default False — see the
+    # measurement note in models/layers.py. Honored by cli/eval and
+    # cli/infer (trace-time flag); never applied to training.
     _C.TPU.dropout_rng_impl = "rbg"  # PRNG for the per-step dropout streams.
     # HRNet carries Dropout(0.3) after every conv (reference lines 44-56), so
     # mask generation is on the critical path: threefry costs ~106 ms of the

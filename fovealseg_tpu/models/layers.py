@@ -19,13 +19,147 @@ Conventions used across the model zoo:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from flax.linen.dtypes import promote_dtype
 
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 bn_bias_init = nn.initializers.constant(1e-4)
+
+# ---------------------------------------------------------------------------
+# Output-pixel-packed convolution (TPU lane-geometry optimization)
+#
+# The MXU is 128 output lanes wide, so a 64-output-channel conv can never
+# exceed ~50 % utilization — and the flagship HRNet-nodownsp spends ~60 % of
+# its FLOPs in 64-channel 3x3 convs at 80x80 (branch 0 + stem + bottleneck
+# conv2; reference hrnetv2_nodownsp.py:279-443). Packing FOUR horizontally
+# adjacent output pixels into the channel dimension turns each such conv
+# into a (3, 6)-kernel stride-(1, 4) conv with 256 output channels, trading
+# a 2x FLOP overhead (18 vs 9 kernel positions per output) for full lane
+# occupancy.
+#
+# MEASURED NEGATIVE RESULT — OFF by default. In isolation the packed conv
+# wins big (b8 80x80 bf16: 51.3 us -> 20.2 us, 2.5x; f32 1.5x) because a
+# lone materialized conv really is lane-limited. Inside the full flagship
+# encoder the same transform *loses*: 9.47 -> 10.42 ms/b8 (pack=4) and
+# 9.98 ms (pack=2), full forward 13.54 -> 14.55 ms. In context XLA fuses
+# BN/ReLU into the conv and pipelines spatial tiles, so the lane-occupancy
+# ceiling is not the binding constraint the microbenchmark suggests — the
+# 2x FLOPs plus the pad/reshape seams just cost. The mechanism is kept as
+# an opt-in (`TPU.conv_pack` / `conv_packing()`) with exactness + autodiff
+# tests, so the experiment is reproducible on other TPU generations where
+# the tradeoff may flip.
+#
+# The transform is exact in f32 (the extra kernel positions multiply zeros)
+# and a bf16 reassociation-level change otherwise. The flag is read at
+# *trace* time — flip it before building a jitted function, never between
+# calls to one.
+# ---------------------------------------------------------------------------
+
+_CONV_PACK_ENABLED = False
+
+
+def set_conv_packing(on: bool) -> None:
+    """Globally enable/disable output-pixel conv packing (trace-time flag)."""
+    global _CONV_PACK_ENABLED
+    _CONV_PACK_ENABLED = bool(on)
+
+
+def conv_packing_enabled() -> bool:
+    return _CONV_PACK_ENABLED
+
+
+@contextlib.contextmanager
+def conv_packing(on: bool = True):
+    """Context manager: enable packing while tracing a program."""
+    global _CONV_PACK_ENABLED
+    prev = _CONV_PACK_ENABLED
+    _CONV_PACK_ENABLED = bool(on)
+    try:
+        yield
+    finally:
+        _CONV_PACK_ENABLED = prev
+
+
+def _pack_factor(x_shape, kernel_size: int, stride: int, padding: int,
+                 features: int) -> int:
+    """4 when the packed formulation is profitable and shape-legal, else 1."""
+    if not _CONV_PACK_ENABLED:
+        return 1
+    w = x_shape[2]
+    if (
+        kernel_size == 3
+        and stride == 1
+        and 2 * padding == kernel_size - 1  # same-size conv
+        and features <= 64
+        and w % 4 == 0
+        and w >= 8
+    ):
+        return 4
+    return 1
+
+
+def _packed_conv(x, kernel, pack: int, padding: int):
+    """Width-packed conv: pack adjacent output pixels into channels.
+
+    kernel is the ordinary (kh, kw, cin, cout) weight; builds the
+    (kh, kw+pack-1, cin, pack*cout) block-shifted weight in-graph (cheap,
+    and autodiff routes gradients back to the shared positions)."""
+    b, h, w, _ = x.shape
+    kh, kw, cin, cout = kernel.shape
+    wq = jnp.zeros((kh, kw + pack - 1, cin, pack * cout), kernel.dtype)
+    for j in range(pack):
+        wq = wq.at[:, j:j + kw, :, j * cout:(j + 1) * cout].set(kernel)
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding + pack - 1), (0, 0)))
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(xp, wq, (1, pack), "VALID", dimension_numbers=dn)
+    return y.reshape(b, h, w // pack, pack, cout).reshape(b, h, w, cout)
+
+
+class TorchConv(nn.Module):
+    """torch-``nn.Conv2d``-semantics conv (explicit symmetric padding) with
+    the same parameter surface as ``nn.Conv`` (kernel [kh,kw,cin,cout] +
+    bias [cout]) so checkpoints are interchangeable; dispatches to the
+    packed formulation when `conv_packing` is enabled and profitable."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", kaiming_normal, (k, k, x.shape[-1], self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        pack = _pack_factor(x.shape, k, self.stride, self.padding, self.features)
+        if pack > 1:
+            y = _packed_conv(x, kernel, pack, self.padding)
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (self.stride, self.stride),
+                ((self.padding, self.padding), (self.padding, self.padding)),
+                dimension_numbers=dn,
+            )
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 def conv2d(
@@ -36,16 +170,15 @@ def conv2d(
     use_bias: bool = True,
     name: str | None = None,
     dtype: Any = jnp.float32,
-) -> nn.Conv:
+) -> TorchConv:
     """torch-``nn.Conv2d``-style conv (explicit symmetric padding)."""
-    return nn.Conv(
+    return TorchConv(
         features,
-        (kernel_size, kernel_size),
-        strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
-        use_bias=use_bias,
-        kernel_init=kaiming_normal,
-        dtype=dtype,
+        kernel_size,
+        stride,
+        padding,
+        use_bias,
+        dtype,
         name=name,
     )
 
