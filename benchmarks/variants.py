@@ -1,5 +1,9 @@
 """Encoder-variant throughput (warped-domain forward, b8, bf16) with the
-RTT-corrected timing (benchmarks/timing.py)."""
+RTT-corrected timing (benchmarks/timing.py). ``--int8`` additionally times
+each variant under W8A8 serving quantization (TPU.quantize="int8" —
+models/layers.py), which accelerates >=128-channel convs ~1.7-2x on the
+v5e int8 MXU: the wide-conv encoders (deeplab OS8, segformer) are where
+that matters."""
 
 import json
 import os
@@ -38,6 +42,16 @@ def main():
         dt = time_op(lambda x: module.apply(v, x, f, train=False)["pred"], x, n1=5, n2=25)
         results[arch] = {"ms_b8": dt * 1e3, "fps": B / dt}
         print(f"{arch}: {dt*1e3:.2f} ms/b8 -> {B/dt:.0f} fps", flush=True)
+        if "--int8" in sys.argv:
+            from fovealseg_tpu.models import layers
+
+            with layers.quantization(True):
+                fq = jax.jit(lambda x: module.apply(v, x, f, train=False)["pred"])
+                fq(x)  # trace under the flag
+            dtq = time_op(fq, x, n1=5, n2=25)
+            results[arch]["int8_ms_b8"] = dtq * 1e3
+            results[arch]["int8_fps"] = B / dtq
+            print(f"{arch} int8: {dtq*1e3:.2f} ms/b8 -> {B/dtq:.0f} fps ({dt/dtq:.2f}x)", flush=True)
     print(json.dumps(results))
 
 

@@ -63,6 +63,11 @@ def main(argv=None):
 
     dc = DeformConfig.from_cfg(cfg)
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.TPU.quantize:
+        assert cfg.TPU.quantize == "int8", f"unknown TPU.quantize {cfg.TPU.quantize!r}"
+        from fovealseg_tpu.models.layers import set_quantization
+
+        set_quantization(True)  # trace-time flag; inference-only W8A8
     if cfg.TPU.conv_pack:
         from fovealseg_tpu.models.layers import set_conv_packing
 
@@ -112,10 +117,19 @@ def main(argv=None):
     # channel instead of num_class floats — exact, see unwarp_argmax_fast)
     argmax_only = not bool(cfg.VAL.visualize or cfg.TRAIN.train_eval_visualise)
 
+    quant = None
+    if cfg.TPU.quantize:
+        from fovealseg_tpu.models.layers import quantize_params
+
+        quant = quantize_params(params)  # hoisted out of the eval loop
+
     @jax.jit
     def infer(params, stats, x, f, y):
+        variables = {"params": params, "batch_stats": stats}
+        if quant is not None:
+            variables["quant"] = quant
         return module.apply(
-            {"params": params, "batch_stats": stats}, x, f,
+            variables, x, f,
             y=y, y_sampled_reverse=rev_y, x_sampled_reverse=rev_x,
             argmax_labels=argmax_only,
             method=DeformSegmentation.infer,

@@ -94,6 +94,11 @@ def main(argv=None):
     setup_compile_cache(cfg)
 
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.TPU.quantize:
+        assert cfg.TPU.quantize == "int8", f"unknown TPU.quantize {cfg.TPU.quantize!r}"
+        from fovealseg_tpu.models.layers import set_quantization
+
+        set_quantization(True)  # trace-time flag; inference-only W8A8
     if cfg.TPU.conv_pack:
         from fovealseg_tpu.models.layers import set_conv_packing
 
@@ -112,9 +117,20 @@ def main(argv=None):
             args.torch_ckpt, args.torch_epoch, params, stats
         )
 
+    quant = None
+    if cfg.TPU.quantize:
+        # hoist weight quantization out of the serving loop (the in-graph
+        # max/round over all conv weights would otherwise re-run per batch)
+        from fovealseg_tpu.models.layers import quantize_params
+
+        quant = quantize_params(params)
+
     def serve_fn(params, stats, x, f):
+        variables = {"params": params, "batch_stats": stats}
+        if quant is not None:
+            variables["quant"] = quant
         out = module.apply(
-            {"params": params, "batch_stats": stats}, x, f,
+            variables, x, f,
             argmax_labels=True, method=DeformSegmentation.infer,
         )
         return out["pred_label"]

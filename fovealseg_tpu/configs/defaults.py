@@ -221,6 +221,13 @@ def get_default_cfg() -> CfgNode:
     # flagship encoder (9.47 -> 10.42 ms/b8), hence default False — see the
     # measurement note in models/layers.py. Honored by cli/eval and
     # cli/infer (trace-time flag); never applied to training.
+    _C.TPU.quantize = ""  # "" | "int8": W8A8 dynamic-quantized serving.
+    # Symmetric zero-point-0 int8 (per-output-channel weight scales,
+    # per-tensor dynamic activation scale) on convs with >=128 in AND out
+    # channels — the v5e MXU runs int8 at ~2x bf16 there, while 64-channel
+    # convs are lane-limited either way and stay bf16 (measured table in
+    # models/layers.py). Inference-only: honored by cli/eval and cli/infer;
+    # training always runs the TPU.compute_dtype path.
     _C.TPU.dropout_rng_impl = "rbg"  # PRNG for the per-step dropout streams.
     # HRNet carries Dropout(0.3) after every conv (reference lines 44-56), so
     # mask generation is on the critical path: threefry costs ~106 ms of the

@@ -62,6 +62,120 @@ bn_bias_init = nn.initializers.constant(1e-4)
 
 _CONV_PACK_ENABLED = False
 
+# ---------------------------------------------------------------------------
+# W8A8 dynamic int8 quantization (TPU serving mode)
+#
+# The v5e MXU runs int8xint8->int32 at ~2x bf16 throughput. Measured on this
+# chip (stacked 3x3 convs, differential timing, benchmarks/quant_probe):
+#   64ch@80^2   0.89x  (N=64 is lane-limited either way; requant seams lose)
+#   128ch@40^2  1.73x   256ch@20^2 2.07x   512ch@10^2 1.73x
+# so quantization is applied ONLY to convs with cin>=QUANT_MIN_CH and
+# cout>=QUANT_MIN_CH; the 64-channel HRNet branch stays bf16 (mixed W8A8).
+#
+# End-to-end (b8, benchmarks/variants.py --int8): flagship warped forward
+# 13.41 -> 12.7-12.9 ms (+4-6%), serving +2%, segformer +3%, deeplab **-13%**
+# (its OS8 trunk runs wide convs at 10x10 spatial — M=800 rows, MXU
+# M-starved — where the serialized per-conv activation-max reduce outweighs
+# the int8 MXU win). A largely-negative result end-to-end; kept as an
+# opt-in experiment like TPU.conv_pack. Pre-quantizing weights via
+# quantize_params measured identical inside a chained loop (XLA hoists the
+# loop-invariant weight max/round itself); the hoist still matters for the
+# serving CLI where each batch is a fresh top-level call. Opt-in via
+# TPU.quantize="int8" — OFF by default (also: task-accuracy impact on real
+# datasets can't be validated in this environment; argmax agreement >95%
+# on synthetic inputs is pinned by tests/test_quantize.py).
+#
+# Scheme: symmetric, zero-point 0 (explicit zero padding stays exact).
+#   weights     per-output-channel scale  s_w[c] = max|W[..,c]| / 127
+#   activations per-tensor dynamic scale  s_x    = max|x| / 127  (per call —
+#               no calibration set needed; the max-reduce is VPU-trivial)
+#   y = (int8(x/s_x) (*) int8(W/s_w))_int32 * (s_x * s_w)  + bias
+# Inference-only (the flag lives outside params; training never sees it).
+# ---------------------------------------------------------------------------
+
+_QUANT_INT8_ENABLED = False
+QUANT_MIN_CH = 128
+
+
+def set_quantization(on: bool) -> None:
+    """Globally enable/disable int8 serving quantization (trace-time flag)."""
+    global _QUANT_INT8_ENABLED
+    _QUANT_INT8_ENABLED = bool(on)
+
+
+def quantization_enabled() -> bool:
+    return _QUANT_INT8_ENABLED
+
+
+@contextlib.contextmanager
+def quantization(on: bool = True):
+    """Context manager: enable int8 quantization while tracing a program."""
+    global _QUANT_INT8_ENABLED
+    prev = _QUANT_INT8_ENABLED
+    _QUANT_INT8_ENABLED = bool(on)
+    try:
+        yield
+    finally:
+        _QUANT_INT8_ENABLED = prev
+
+
+def _quantizable(cin: int, cout: int) -> bool:
+    return _QUANT_INT8_ENABLED and cin >= QUANT_MIN_CH and cout >= QUANT_MIN_CH
+
+
+def quantize_kernel(kernel):
+    """(int8 kernel, f32 per-output-channel scale) for a [kh,kw,cin,cout]
+    conv weight — symmetric, zero-point 0."""
+    kf = jnp.asarray(kernel, jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+    return jnp.round(kf / s_w).astype(jnp.int8), s_w
+
+
+def quantize_params(params):
+    """Pre-quantize every quantizable TorchConv kernel in a params pytree.
+
+    Returns the 'quant' variable collection ({... 'kernel_q', 'w_scale'} at
+    each conv's scope) to pass alongside params in ``module.apply`` — this
+    hoists the per-step in-graph weight max/round (a full read of ~all conv
+    weights per forward) out of the serving loop. Only 4-D kernels with
+    >=QUANT_MIN_CH in and out channels are included, mirroring
+    ``_quantizable`` so every entry is read by its TorchConv.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, v in flat.items():
+        if (
+            path[-1] == "kernel"
+            and getattr(v, "ndim", 0) == 4
+            and v.shape[2] >= QUANT_MIN_CH
+            and v.shape[3] >= QUANT_MIN_CH
+        ):
+            kq, sw = quantize_kernel(v)
+            out[path[:-1] + ("kernel_q",)] = kq
+            out[path[:-1] + ("w_scale",)] = sw
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def _int8_conv(x, kernel, stride: int, padding: int, w_q=None, s_w=None):
+    """Mixed-precision W8A8 conv: dynamic per-tensor activation scale,
+    per-output-channel weight scale, int32 accumulation on the MXU.
+    Pass pre-quantized (w_q, s_w) to skip the in-graph weight quantize."""
+    out_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if w_q is None:
+        w_q, s_w = quantize_kernel(kernel)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    x_q = jnp.round(xf / s_x).astype(jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    z = jax.lax.conv_general_dilated(
+        x_q, w_q, (stride, stride),
+        ((padding, padding), (padding, padding)),
+        dimension_numbers=dn, preferred_element_type=jnp.int32,
+    )
+    return (z.astype(jnp.float32) * (s_x * s_w)).astype(out_dtype)
+
 
 def set_conv_packing(on: bool) -> None:
     """Globally enable/disable output-pixel conv packing (trace-time flag)."""
@@ -146,7 +260,16 @@ class TorchConv(nn.Module):
         )
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
         pack = _pack_factor(x.shape, k, self.stride, self.padding, self.features)
-        if pack > 1:
+        if _quantizable(x.shape[-1], self.features):
+            if self.has_variable("quant", "kernel_q"):
+                y = _int8_conv(
+                    x, kernel, self.stride, self.padding,
+                    w_q=self.get_variable("quant", "kernel_q"),
+                    s_w=self.get_variable("quant", "w_scale"),
+                )
+            else:
+                y = _int8_conv(x, kernel, self.stride, self.padding)
+        elif pack > 1:
             y = _packed_conv(x, kernel, pack, self.padding)
         else:
             dn = jax.lax.conv_dimension_numbers(
