@@ -142,6 +142,12 @@ def main(argv=None):
         return keep
 
     f = jnp.asarray([args.gaze], jnp.float32)
+    # per-class label-distribution meters (reference eval.py:186-191): mean
+    # over samples of the normalized class histogram of the full-res gt and
+    # of the deformed (warped-domain) label
+    nc = cfg.DATASET.num_class
+    y_dist_sum = np.zeros(nc, np.float64)
+    y_samp_dist_sum = np.zeros(nc, np.float64)
     inter_sum = union_sum = None
     inter_def = union_def = None
     inter_rev = union_rev = None
@@ -174,11 +180,33 @@ def main(argv=None):
         # deformed (warped-domain) metrics from the last scale (eval.py:210,231)
         pred_def = np.argmax(np.asarray(out["pred"], np.float32)[0], axis=-1)
         y_samp = np.asarray(out["y_sampled"], np.int64)[0]
+        h1, _ = np.histogram(seg, bins=nc, range=(0, nc - 1))
+        h2, _ = np.histogram(y_samp, bins=nc, range=(0, nc - 1))
+        y_dist_sum += h1 / max(h1.sum(), 1)
+        y_samp_dist_sum += h2 / max(h2.sum(), 1)
         acc_d, _ = M.accuracy(jnp.asarray(pred_def), jnp.asarray(y_samp))
         acc_def_m += float(acc_d)
         i2, u2 = M.intersection_and_union(jnp.asarray(pred_def), jnp.asarray(y_samp), cfg.DATASET.num_class)
         inter_def = i2 if inter_def is None else inter_def + i2
         union_def = u2 if union_def is None else union_def + u2
+
+        if cfg.VAL.visualize:
+            # side-by-side (img | gt-color | pred-color) dump into
+            # {DIR}/result (reference eval.py:70-83, 273-277)
+            from PIL import Image as PILImage
+
+            from fovealseg_tpu.utils.ade import color_encode
+
+            img_u8 = np.clip(rec["img_ori"] * 255.0, 0, 255).astype(np.uint8)
+            im_vis = np.concatenate(
+                (img_u8, color_encode(np.maximum(seg, 0), nc),
+                 color_encode(pred, nc)), axis=1)
+            dir_result = os.path.join(cfg.DIR, "result")
+            os.makedirs(dir_result, exist_ok=True)
+            name = str(rec.get("info", idx)).split("/")[-1].replace(".jpg", ".png")
+            if not name.endswith(".png"):
+                name += ".png"
+            PILImage.fromarray(im_vis).save(os.path.join(dir_result, name))
 
         if rev_y:
             yr = np.asarray(out["y_sampled_reverse"], np.int64)[0]
@@ -206,6 +234,22 @@ def main(argv=None):
     if rev_y and inter_rev is not None:
         result["y_reverse_iou"] = miou(inter_rev, union_rev)
         result["y_reverse_acc"] = acc_rev_m / max(n, 1)
+    # per-class deformed-vs-original label-distribution TB scalars
+    # (reference eval.py:326-331 add_scalars tag grammar, flattened to
+    # add_scalar "tag/key" form); emitted when VAL.visualize is set
+    if cfg.VAL.visualize and n > 0:
+        from fovealseg_tpu.utils.observe import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(cfg.DIR, "tensorboard"))
+        y_dist = y_dist_sum / n
+        y_samp_dist = y_samp_dist_sum / n
+        for c in range(nc):
+            tag = f"Eval Deformed Label vs Label Original distribution Class {c}"
+            writer.add_scalar(f"{tag}/Label Original distribution",
+                              float(y_dist[c]), cfg.TRAIN.start_epoch)
+            writer.add_scalar(f"{tag}/Deformed Label",
+                              float(y_samp_dist[c]), cfg.TRAIN.start_epoch)
+        writer.close()
     # per-class report with object-info names (reference eval.py:39,345-350;
     # names synthesized when the csv asset is absent)
     from fovealseg_tpu.utils.ade import class_names

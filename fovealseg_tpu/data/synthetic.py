@@ -12,6 +12,48 @@ from __future__ import annotations
 import numpy as np
 
 
+def make_batch_device(key, batch: int = 2, canvas: int = 640, num_fg_class: int = 50):
+    """jax-native twin of :func:`make_batch` — generates the batch ON DEVICE
+    (jit-able), so training/eval loops never pay a host->device copy. Same
+    contract: random ellipse instance, brightened by +0.3 so there is signal,
+    gaze point uniform inside the ellipse (polar sqrt sampling), class id in
+    [0, num_fg_class). Different pseudorandom stream than the numpy twin.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ks = jax.random.split(key, 6)
+    c = jax.random.uniform(ks[0], (batch, 2), minval=canvas / 4, maxval=3 * canvas / 4)
+    r = jax.random.uniform(ks[1], (batch, 2), minval=canvas / 16, maxval=canvas / 6)
+    imgs = jax.random.uniform(ks[2], (batch, canvas, canvas, 3), jnp.float32)
+    cls = jax.random.randint(ks[3], (batch,), 0, num_fg_class, jnp.int32)
+
+    yy = jnp.arange(canvas, dtype=jnp.float32)[None, :, None]  # [1,H,1]
+    xx = jnp.arange(canvas, dtype=jnp.float32)[None, None, :]  # [1,1,W]
+    cy, cx = c[:, 0, None, None], c[:, 1, None, None]
+    ry, rx = r[:, 0, None, None], r[:, 1, None, None]
+    inside = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0  # [B,H,W]
+    masks = inside.astype(jnp.float32)
+    imgs = jnp.clip(imgs + 0.3 * masks[..., None], 0.0, 1.0)
+
+    # uniform point inside the ellipse: center + s * (ry cos a, rx sin a);
+    # s is shrunk so the point stays inside even after rounding to the pixel
+    # grid (a 1-px shift moves the normalized radius by <= 1/min(ry,rx))
+    t = jax.random.uniform(ks[4], (batch,))
+    a = jax.random.uniform(ks[5], (batch,), minval=0.0, maxval=2 * jnp.pi)
+    s = jnp.sqrt(t) * jnp.maximum(1.0 - 1.5 / jnp.min(r, axis=1), 0.0)
+    fy = c[:, 0] + s * r[:, 0] * jnp.cos(a)
+    fx = c[:, 1] + s * r[:, 1] * jnp.sin(a)
+    focus = jnp.stack([fy, fx], axis=1) / canvas
+
+    return {
+        "img_data": imgs,
+        "focus_point": focus.astype(jnp.float32),
+        "seg_label": masks,
+        "cls_label": cls,
+    }
+
+
 def make_batch(
     rng: np.random.Generator,
     batch: int = 2,

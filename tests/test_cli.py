@@ -127,7 +127,14 @@ def test_cli_eval_visualize(tmp_path):
     names = {p.name for p in vis.iterdir()}
     assert "iter0_batch0_pred.png" in names, names
     tb = tmp_path / "run" / "tensorboard"
-    assert tb.is_dir() and any(tb.iterdir()), "tensorboard events missing"
+    assert tb.is_dir() and any(tb.iterdir())
+    # side-by-side (img | gt | pred) visualize_result dumps (eval.py:70-83)
+    result_dir = tmp_path / "run" / "result"
+    pngs = sorted(result_dir.glob("*.png"))
+    assert len(pngs) == 2, list(result_dir.iterdir()) if result_dir.is_dir() else "missing"
+    from PIL import Image as PILImage
+    w, h = PILImage.open(pngs[0]).size
+    assert (w, h) == (64 * 3, 64), "tensorboard events missing"
 
 
 @pytest.mark.slow
@@ -170,6 +177,7 @@ def test_cli_eval_odgt_multiscale(tmp_path):
          "DATASET.imgMaxSize", "64",
          "DATASET.padding_constant", "8",
          "VAL.y_sampled_reverse", "True",
+         "VAL.visualize", "True",
          "DIR", str(tmp_path / "run")],
         capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
     )
@@ -180,6 +188,17 @@ def test_cli_eval_odgt_multiscale(tmp_path):
     assert res["scales"] == [32, 48]
     assert 0.0 <= res["mean_iou"] <= 1.0
     assert 0.0 <= res["mean_iou_deformed"] <= 1.0
+    # per-class label-distribution scalars (reference eval.py:326-331) were
+    # emitted into the TB dir (event file or jsonl fallback)
+    tb = tmp_path / "run" / "tensorboard"
+    assert tb.is_dir() and any(tb.iterdir())
+    # side-by-side (img | gt | pred) visualize_result dumps (eval.py:70-83)
+    result_dir = tmp_path / "run" / "result"
+    pngs = sorted(result_dir.glob("*.png"))
+    assert len(pngs) == 2, list(result_dir.iterdir()) if result_dir.is_dir() else "missing"
+    from PIL import Image as PILImage
+    w, h = PILImage.open(pngs[0]).size
+    assert (w, h) == (64 * 3, 64)
     assert "y_reverse_iou" in res
 
 

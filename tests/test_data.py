@@ -397,3 +397,26 @@ def test_odgt_gt_gradient_filter_terminates_with_trailing_bad(tmp_path, rng):
     stream = list(ds._sample_stream([0, 1, 2], _random.Random(0)))
     assert len(stream) == 3  # bounded
     assert 2 not in stream  # under-represented replaced by a good sample
+
+
+def test_make_batch_device_contract():
+    """jax-native synthetic twin honors the cooked-dataset contract: binary
+    mask, gaze pixel inside the instance even after rounding to the pixel
+    grid, image brightened on the instance, class ids in range."""
+    import jax
+    import numpy as np
+
+    from fovealseg_tpu.data.synthetic import make_batch_device
+
+    b = jax.device_get(jax.jit(
+        lambda k: make_batch_device(k, batch=8, canvas=64, num_fg_class=7)
+    )(jax.random.PRNGKey(3)))
+    assert b["img_data"].shape == (8, 64, 64, 3)
+    assert set(np.unique(b["seg_label"])) <= {0.0, 1.0}
+    assert b["cls_label"].min() >= 0 and b["cls_label"].max() < 7
+    for i in range(8):
+        fy = int(round(float(b["focus_point"][i, 0]) * 64))
+        fx = int(round(float(b["focus_point"][i, 1]) * 64))
+        assert b["seg_label"][i, fy, fx] == 1.0, (i, fy, fx)
+        inside = b["seg_label"][i] > 0.5
+        assert b["img_data"][i][inside].mean() > b["img_data"][i][~inside].mean()
