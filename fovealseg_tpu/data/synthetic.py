@@ -34,7 +34,16 @@ def make_batch_device(key, batch: int = 2, canvas: int = 640, num_fg_class: int 
     ry, rx = r[:, 0, None, None], r[:, 1, None, None]
     inside = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0  # [B,H,W]
     masks = inside.astype(jnp.float32)
-    imgs = jnp.clip(imgs + 0.3 * masks[..., None], 0.0, 1.0)
+    # class identity is encoded in the instance's hue (cosine palette: three
+    # phases 120 deg apart, distinct per class, channel-mean exactly 0.5) so
+    # classification is *learnable* from pixels — a random class id on a
+    # class-agnostic blob would make the C1 cls head an unlearnable target
+    hue = cls.astype(jnp.float32) / num_fg_class
+    phase = hue[:, None] + jnp.asarray([0.0, 1.0 / 3.0, 2.0 / 3.0])[None, :]
+    color = 0.5 + 0.5 * jnp.cos(2.0 * jnp.pi * phase)  # [B,3]
+    m = masks[..., None]
+    fg = 0.3 * imgs + 0.7 * color[:, None, None, :] + 0.15
+    imgs = jnp.clip(jnp.where(m > 0, fg, imgs), 0.0, 1.0)
 
     # uniform point inside the ellipse: center + s * (ry cos a, rx sin a);
     # s is shrunk so the point stays inside even after rounding to the pixel
