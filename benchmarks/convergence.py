@@ -131,9 +131,28 @@ def main():
                 for i in range(EVAL_BATCHES)]
         return [float(np.mean(col)) for col in zip(*rows)]
 
+    # SAVE_DIR: checkpoint the carry every SAVE_EVERY chunks and resume from
+    # it — long convergence runs survive process restarts. The data/dropout
+    # streams are keyed by absolute step (fold_in), so a resumed run follows
+    # the exact trajectory of an uninterrupted one.
+    save_dir = os.environ.get("SAVE_DIR", "")
+    save_every = int(os.environ.get("SAVE_EVERY", "20"))
+    start0 = 0
+    if save_dir:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        path = os.path.join(os.path.abspath(save_dir), "carry")
+        if os.path.isdir(path):
+            restored = ckptr.restore(path, item=jax.device_get(
+                {"state": state, "step": 0}))
+            state = jax.device_put(restored["state"])
+            start0 = int(restored["step"])
+            print(f"resumed at step {start0} from {path}", flush=True)
+
     history = []
     t_start = time.time()
-    for start in range(0, steps, CHUNK):
+    for start in range(start0, steps, CHUNK):
         state, losses = train_chunk(state, jnp.int32(start))
         fg_iou, bin_iou, acc = eval_heldout(state)
         row = {
@@ -150,6 +169,14 @@ def main():
             f"acc {acc:.4f}  ({time.time()-t_start:.0f}s)",
             flush=True,
         )
+        if save_dir and ((start - start0) // CHUNK + 1) % save_every == 0:
+            import shutil
+
+            tmp = path + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ckptr.save(tmp, jax.device_get({"state": state, "step": start + CHUNK}))
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
     print(json.dumps({"batch": BATCH, "steps": steps, "history": history}))
 
 

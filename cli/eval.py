@@ -51,6 +51,9 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("fovealseg.eval")
+    from fovealseg_tpu.configs import audit_dead_keys
+
+    audit_dead_keys(cfg, log)
 
     if cfg.VAL.ensemble or cfg.VAL.approx_pred_Fxlr_by_ensemble:
         # near-dead reference option (defaults.py:217-220, marked "NEED
@@ -87,7 +90,8 @@ def main(argv=None):
     else:
         from fovealseg_tpu.data.lvis import DatasetLVIS
 
-        ds = DatasetLVIS(os.path.join(args.data, "valid"), args.image_root)
+        ds = DatasetLVIS(os.path.join(args.data, "valid"), args.image_root,
+                         marker=cfg.DATASET.dataset_marker_valid)
 
         def loader():
             for i, b in enumerate(ds.batches(cfg.VAL.batch_size, shuffle=False)):
@@ -104,6 +108,20 @@ def main(argv=None):
 
         params, stats = load_torch_checkpoint(args.torch_ckpt, args.torch_epoch, params, stats)
         log.info("imported torch checkpoint from %s", args.torch_ckpt)
+    elif any((cfg.MODEL.weights_encoder, cfg.MODEL.weights_decoder,
+              cfg.MODEL.weights_net_saliency, cfg.MODEL.weights_net_compress)):
+        # MODEL.weights_* per-net torch files (eval.py:463-487 reloads the
+        # 4 nets from explicit paths each eval epoch)
+        from fovealseg_tpu.train.checkpoint import load_torch_weight_files
+
+        params, stats = load_torch_weight_files(
+            {"encoder": cfg.MODEL.weights_encoder,
+             "decoder": cfg.MODEL.weights_decoder,
+             "saliency": cfg.MODEL.weights_net_saliency,
+             "compress": cfg.MODEL.weights_net_compress},
+            params, stats,
+        )
+        log.info("loaded per-net torch weights from MODEL.weights_*")
     elif cfg.TRAIN.start_epoch > 0 and os.path.isdir(cfg.DIR):
         from fovealseg_tpu.train import checkpoint as ckpt
 
@@ -119,9 +137,14 @@ def main(argv=None):
 
     quant = None
     if cfg.TPU.quantize:
-        from fovealseg_tpu.models.layers import quantize_params
+        from fovealseg_tpu.models.layers import quantize_params, quantized_kernel_paths
 
-        quant = quantize_params(params)  # hoisted out of the eval loop
+        paths = quantized_kernel_paths(
+            module, {"params": params, "batch_stats": stats},
+            sample["img_data"], sample["focus_point"],
+            argmax_labels=argmax_only, method=DeformSegmentation.infer,
+        )
+        quant = quantize_params(params, paths)  # hoisted out of the eval loop
 
     @jax.jit
     def infer(params, stats, x, f, y):
@@ -173,6 +196,22 @@ def main(argv=None):
                 vis_dir, f"iter{bi}_batch{i}",
                 pred_logits=pred_full[i], gt_hr=gt[i], saliency=sm[i],
                 num_classes=nc)
+            if bi == 0:
+                # side-by-side (img | gt-color | pred-color) visualize_result
+                # dumps into {DIR}/result (reference eval.py:70-83, 273-277),
+                # first batch only
+                from PIL import Image as PILImage
+
+                from fovealseg_tpu.utils.ade import color_encode
+
+                img_u8 = np.clip(x_np[i] * 255.0, 0, 255).astype(np.uint8)
+                im_vis = np.concatenate(
+                    (img_u8, color_encode(np.maximum(gt[i], 0), nc),
+                     color_encode(pred_cls[i], nc)), axis=1)
+                rdir = os.path.join(cfg.DIR, "result")
+                os.makedirs(rdir, exist_ok=True)
+                PILImage.fromarray(im_vis).save(
+                    os.path.join(rdir, f"batch{bi}_sample{i}.png"))
 
     inter_sum = None
     union_sum = None
@@ -225,6 +264,16 @@ def main(argv=None):
                 t = M.trimap_accuracy(pred[b], gt[b], cfg.VAL.trimap_dia_factor)
                 if t == t:
                     trimaps.append(t)
+                if cfg.VAL.trimap_visual_check:
+                    # band/masked-label/masked-pred npy dump set
+                    # (reference trim_accuracy, eval.py:56-66)
+                    tdir = os.path.join(cfg.DIR, "trimap_visual_check")
+                    os.makedirs(tdir, exist_ok=True)
+                    band = M.trimap_band(gt[b], cfg.VAL.trimap_dia_factor)
+                    w = cfg.VAL.trimap_dia_factor
+                    np.save(os.path.join(tdir, f"seg_label_Edges_dil_{w}.npy"), band)
+                    np.save(os.path.join(tdir, f"masked_label_dil_{w}.npy"), band * gt[b])
+                    np.save(os.path.join(tdir, f"masked_pred_dil_{w}.npy"), band * pred[b])
         n += 1
 
     iou = np.asarray(inter_sum) / np.maximum(np.asarray(union_sum), 1e-10)

@@ -87,6 +87,7 @@ def main(argv=None):
         binary_class=cfg.DATASET.binary_class,
         val_central_crop=cfg.DATASET.val_central_crop,
         val_central_crop_shape=tuple(cfg.DATASET.val_central_crop_shape),
+        expand_prediection_rate=cfg.VAL.expand_prediection_rate,
     )
     n_samples = len(ds) if args.num_samples < 0 else min(args.num_samples, len(ds))
     log.info("ValDataset: %d records (%s family), scales %s",
@@ -152,6 +153,7 @@ def main(argv=None):
     inter_def = union_def = None
     inter_rev = union_rev = None
     acc_m = acc_def_m = acc_rev_m = 0.0
+    per_img_rows: list = []  # VAL.report_per_img_iou
     n = 0
     for idx in range(n_samples):
         rec = ds[idx]
@@ -176,6 +178,14 @@ def main(argv=None):
         i1, u1 = M.intersection_and_union(jnp.asarray(pred), seg_iou_j, cfg.DATASET.num_class)
         inter_sum = i1 if inter_sum is None else inter_sum + i1
         union_sum = u1 if union_sum is None else union_sum + u1
+        if cfg.VAL.report_per_img_iou:
+            # per-image IoU rows -> {DIR}/image_IoUs_list.csv
+            # (reference eval.py:251-257, 283-293)
+            img_iou = np.asarray(i1, np.float64) / (np.asarray(u1, np.float64) + 1e-10)
+            per_img_rows.append(
+                (str(rec.get("info", idx)).split("/")[-1], float(img_iou.mean()),
+                 img_iou.tolist())
+            )
 
         # deformed (warped-domain) metrics from the last scale (eval.py:210,231)
         pred_def = np.argmax(np.asarray(out["pred"], np.float32)[0], axis=-1)
@@ -250,6 +260,20 @@ def main(argv=None):
             writer.add_scalar(f"{tag}/Deformed Label",
                               float(y_samp_dist[c]), cfg.TRAIN.start_epoch)
         writer.close()
+    if cfg.VAL.report_per_img_iou and per_img_rows:
+        # worst-first per-image IoU table (reference sorts by image_mIoU and
+        # writes {DIR}/image_IoUs_list.csv with idx label, eval.py:283-293)
+        import csv
+
+        per_img_rows.sort(key=lambda r: r[1])
+        os.makedirs(cfg.DIR, exist_ok=True)
+        with open(os.path.join(cfg.DIR, "image_IoUs_list.csv"), "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["idx", "image_name", "image_mIoU"]
+                       + [f"img_iou_class_{c}" for c in range(nc)])
+            for i, (name, miou_v, per_cls) in enumerate(per_img_rows):
+                w.writerow([i, name, miou_v] + per_cls)
+        log.info("per-image IoU table: %s", os.path.join(cfg.DIR, "image_IoUs_list.csv"))
     # per-class report with object-info names (reference eval.py:39,345-350;
     # names synthesized when the csv asset is absent)
     from fovealseg_tpu.utils.ade import class_names

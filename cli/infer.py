@@ -120,10 +120,15 @@ def main(argv=None):
     quant = None
     if cfg.TPU.quantize:
         # hoist weight quantization out of the serving loop (the in-graph
-        # max/round over all conv weights would otherwise re-run per batch)
-        from fovealseg_tpu.models.layers import quantize_params
+        # max/round over all conv weights would otherwise re-run per batch);
+        # restricted to the scopes this model's int8 path actually reads
+        from fovealseg_tpu.models.layers import quantize_params, quantized_kernel_paths
 
-        quant = quantize_params(params)
+        paths = quantized_kernel_paths(
+            module, {"params": params, "batch_stats": stats}, x0, f0,
+            argmax_labels=True, method=DeformSegmentation.infer,
+        )
+        quant = quantize_params(params, paths)
 
     def serve_fn(params, stats, x, f):
         variables = {"params": params, "batch_stats": stats}

@@ -58,19 +58,37 @@ def main(argv=None):
     from fovealseg_tpu.configs import setup_compile_cache
 
     setup_compile_cache(cfg)
+
+    # TPU.mesh_shape (dp, mp): two non-zero dims select the 2-D GSPMD mesh
+    # (tensor-parallel wide conv weights over 'model', batch over 'data' —
+    # parallel/mesh.py); anything else is the 1-D shard_map DP mesh (the
+    # reference's DDP equivalent).
+    mesh_shape = tuple(cfg.TPU.mesh_shape)
+    use_2d = len(mesh_shape) == 2 and all(s > 0 for s in mesh_shape)
+    # --gpus (reference grammar, utils.py:341-361) sizes the 1-D data mesh
+    n_requested = None
+    if args.gpus is not None and not use_2d:
+        from fovealseg_tpu.utils.misc import parse_devices
+
+        n_requested = min(len(parse_devices(args.gpus)), jax.device_count())
+    # the device count the training mesh will actually have — auto-batch
+    # accounting below must agree with it (the reference sizes both from
+    # len(gpus), train_deform_semantic.py:630-635)
+    n_mesh = (mesh_shape[0] * mesh_shape[1]) if use_2d \
+        else (n_requested or jax.device_count())
+
     if cfg.TRAIN.auto_batch == "auto10":
         # reference auto-batch heuristic (train_deform_semantic.py:627-635):
         # ~0.65M pixels per device with hrnetv2, epoch_iters = one data pass
         cfg.TRAIN.batch_size_per_gpu = max(1, int(
             (1e6 * 0.65) // (cfg.DATASET.imgSizes[0] * cfg.DATASET.imgSizes[0])
         ))
-        n_auto = jax.device_count()
-        cfg.TRAIN.num_gpus = n_auto
+        cfg.TRAIN.num_gpus = n_mesh
         if os.path.isfile(cfg.DATASET.list_train):
             with open(cfg.DATASET.list_train) as fh:
                 num_data = sum(1 for _ in fh)
             cfg.TRAIN.epoch_iters = max(1, int(
-                num_data // (n_auto * cfg.TRAIN.batch_size_per_gpu)
+                num_data // (n_mesh * cfg.TRAIN.batch_size_per_gpu)
             ))
     cfg.TRAIN.max_iters = cfg.TRAIN.epoch_iters * cfg.TRAIN.num_epoch
 
@@ -85,19 +103,10 @@ def main(argv=None):
     )
     log = logging.getLogger("fovealseg")
     log.info("config:\n%s", cfg.dump())
+    from fovealseg_tpu.configs import audit_dead_keys
 
-    # TPU.mesh_shape (dp, mp): two non-zero dims select the 2-D GSPMD mesh
-    # (tensor-parallel wide conv weights over 'model', batch over 'data' —
-    # parallel/mesh.py); anything else is the 1-D shard_map DP mesh (the
-    # reference's DDP equivalent).
-    mesh_shape = tuple(cfg.TPU.mesh_shape)
-    use_2d = len(mesh_shape) == 2 and all(s > 0 for s in mesh_shape)
-    # --gpus (reference grammar, utils.py:341-361) sizes the 1-D data mesh
-    n_requested = None
-    if args.gpus is not None and not use_2d:
-        from fovealseg_tpu.utils.misc import parse_devices
+    audit_dead_keys(cfg, log)
 
-        n_requested = min(len(parse_devices(args.gpus)), jax.device_count())
     if use_2d:
         from fovealseg_tpu.parallel.mesh import make_mesh_2d
 
@@ -133,8 +142,10 @@ def main(argv=None):
     else:
         from fovealseg_tpu.data.lvis import DatasetLVIS
 
-        train_ds = DatasetLVIS(os.path.join(args.data, "train"), args.image_root)
-        val_ds = DatasetLVIS(os.path.join(args.data, "valid"), args.image_root)
+        train_ds = DatasetLVIS(os.path.join(args.data, "train"), args.image_root,
+                               marker=cfg.DATASET.dataset_marker_train)
+        val_ds = DatasetLVIS(os.path.join(args.data, "valid"), args.image_root,
+                             marker=cfg.DATASET.dataset_marker_valid)
         log.info("LVIS cooked data: %d train / %d val", len(train_ds), len(val_ds))
 
         def train_loader(epoch):
@@ -150,6 +161,25 @@ def main(argv=None):
     from fovealseg_tpu.utils.summary import summarize
 
     log.info("model summary:\n%s", summarize(state.params, state.batch_stats))
+
+    # MODEL.weights_* per-net torch imports (ModelBuilder strict=False
+    # loads, models/models.py:1174-1230; resume rewrites these paths at
+    # train_deform_semantic.py:649-658)
+    w_paths = {
+        "encoder": cfg.MODEL.weights_encoder,
+        "decoder": cfg.MODEL.weights_decoder,
+        "saliency": cfg.MODEL.weights_net_saliency,
+        "compress": cfg.MODEL.weights_net_compress,
+    }
+    if any(w_paths.values()):
+        from fovealseg_tpu.train.checkpoint import load_torch_weight_files
+        from fovealseg_tpu.train.step import TrainState
+
+        p2, s2 = load_torch_weight_files(w_paths, state.params, state.batch_stats)
+        state = TrainState(p2, s2, state.opt_state, state.step)
+        log.info("loaded torch weights: %s",
+                 {k: v for k, v in w_paths.items() if v})
+
     if use_2d:
         from fovealseg_tpu.parallel.mesh import shard_state_2d
 
@@ -173,7 +203,10 @@ def main(argv=None):
         )
         log.info("auto-resume: epoch_last found, start_epoch=%d",
                  cfg.TRAIN.start_epoch)
-    if cfg.TRAIN.start_epoch > 0:
+    # install the restored state whenever a checkpoint was loaded — an
+    # auto-resume whose step maps to epoch 0 (loader shorter than
+    # epoch_iters) must still keep the restored weights, not re-init
+    if cfg.TRAIN.start_epoch > 0 or restored is not None:
         from fovealseg_tpu.train import checkpoint as ckpt
 
         epoch = cfg.TRAIN.start_epoch
@@ -196,11 +229,24 @@ def main(argv=None):
     if use_2d:
         from fovealseg_tpu.parallel.mesh import make_gspmd_eval_step, make_gspmd_train_step
 
-        train_step = make_gspmd_train_step(module, tx, lcfg, mesh, state)
+        train_step = make_gspmd_train_step(module, tx, lcfg, mesh, state,
+                                           fix_bn=cfg.TRAIN.fix_bn)
         eval_step = make_gspmd_eval_step(module, lcfg, mesh, state)
     else:
-        train_step = make_parallel_train_step(module, tx, lcfg, mesh, axis)
+        train_step = make_parallel_train_step(module, tx, lcfg, mesh, axis,
+                                              fix_bn=cfg.TRAIN.fix_bn)
         eval_step = make_parallel_eval_step(module, lcfg, mesh, axis)
+
+    if cfg.MODEL.gt_gradient and cfg.MODEL.gt_gradient_intrinsic_only:
+        # intrinsic-only study: forward + metrics, NO backward/step
+        # (train_deform_semantic.py:113 skips loss.backward entirely)
+        _inner_step = train_step
+
+        def train_step(state, batch, rng):  # noqa: F811
+            _, mets = _inner_step(state, batch, rng)
+            return state, mets
+
+        log.info("gt_gradient_intrinsic_only: optimizer updates disabled")
 
     def visual_fn(state, epoch):
         # reference cadence dump set: {DIR}/train_visual_epoch{N}/iter0_batch{i}_*

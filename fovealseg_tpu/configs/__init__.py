@@ -23,4 +23,61 @@ def setup_compile_cache(cfg) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-__all__ = ["CfgNode", "get_default_cfg", "cfg", "setup_compile_cache"]
+# Config keys that exist for surface parity but are NEVER read by the
+# reference runtime (verified: zero grep hits for `cfg.<GROUP>.<key>` outside
+# config/defaults.py in /root/reference, .ipynb_checkpoints excluded).
+# Setting one is almost certainly a user error — warn loudly instead of
+# silently ignoring (ignoring IS reference behavior).
+DEAD_REFERENCE_KEYS = {
+    "DATASET": ("check_dataload", "shuffle_list", "dataset_name", "list_test",
+                "adjust_crop_range", "multi_scale_aug", "mirror_padding"),
+    "MODEL": ("deconv", "fix_img_gradient"),
+    "TRAIN": ("fov_location_step", "auto_fov_location_step", "gpu_threshold",
+              "loss_fun", "loss_weight", "scale_weight", "sync_location",
+              "weight_decay_fov", "fov_scale_weight_decay", "workers",
+              "mini_batch_size", "s_entropy_weight"),
+    "VAL": ("F_Xlr_only", "F_Xlr_acc_map_only", "all_F_Xlr_time",
+            "expand_prediection_rate_patch", "foveated_expection",
+            "hard_max_fov", "max_score", "multipro", "rename_eval_folder"),
+}
+
+
+def audit_dead_keys(cfg, logger=None) -> list[str]:
+    """Warn for every dead-in-the-reference key set away from its default.
+
+    Also flags TRAIN.opt_deform_LabelEdge_accrate != 1: the reference's
+    adjust_learning_rate does ``param_group['zoom'] *= accrate``
+    (train_deform_semantic.py:348), turning the boolean zoom flag into a
+    float — after one adjustment ``zoom == True`` comparisons fail and the
+    foveation groups silently stop updating. A latent upstream bug; any
+    non-1 value is refused parity here."""
+    import logging
+
+    logger = logger or logging.getLogger("fovealseg")
+    defaults = get_default_cfg()
+    hits = []
+    for group, keys in DEAD_REFERENCE_KEYS.items():
+        for k in keys:
+            if getattr(getattr(cfg, group), k) != getattr(getattr(defaults, group), k):
+                hits.append(f"{group}.{k}")
+                logger.warning(
+                    "%s.%s is set but is a dead config key in the reference "
+                    "(never read by its runtime); ignoring it reproduces "
+                    "reference behavior", group, k,
+                )
+    if cfg.TRAIN.opt_deform_LabelEdge_accrate != 1.0:
+        hits.append("TRAIN.opt_deform_LabelEdge_accrate")
+        logger.warning(
+            "TRAIN.opt_deform_LabelEdge_accrate=%s: in the reference this "
+            "multiplies the boolean param_group['zoom'] flag "
+            "(train_deform_semantic.py:348) — any value != 1 makes "
+            "'zoom == True' comparisons fail after one LR adjustment and "
+            "silently freezes the foveation branch; refusing to replicate "
+            "the bug, treating it as 1.0",
+            cfg.TRAIN.opt_deform_LabelEdge_accrate,
+        )
+    return hits
+
+
+__all__ = ["CfgNode", "get_default_cfg", "cfg", "setup_compile_cache",
+           "audit_dead_keys", "DEAD_REFERENCE_KEYS"]

@@ -189,9 +189,18 @@ class PreprocessCityscapes:
         self._frame_index: dict[str, str] | None = None  # built on first use
 
     def get_objs_ordered(self, itemkey: str) -> list:
+        """Objects sorted by (label priority, polygon size) — "important &
+        small object at front" (b3:313-323).  ``object_index_map`` paints
+        back-to-front, so this order decides who wins occluded pixels;
+        labels outside the 41-entry table sort last."""
         if itemkey not in self._objs_cache:
             with open(self._paths[itemkey]) as f:
-                self._objs_cache[itemkey] = json.load(f).get("objects", [])
+                objs = json.load(f).get("objects", [])
+            objs.sort(key=lambda obj: (
+                LABEL2IDX.get(wrap_name(obj["label"]), len(IDX2LABEL)),
+                len(obj["polygon"]),
+            ))
+            self._objs_cache[itemkey] = objs
         return self._objs_cache[itemkey]
 
     def _oidx_map(self, itemkey: str):

@@ -152,11 +152,15 @@ class PreprocessLVIS:
         )
         return Sample(fname, mask, gaze, (pad_left, pad_right, pad_top, pad_bottom), kid, ann["image_id"])
 
-    def make_n_samples(self, n: int, cids=None) -> list[str]:
+    def make_n_samples(self, n: int, cids=None, marker: str = "") -> list[str]:
         """Round-robin over monitored classes, random annotation each
-        (b2_preprocess_lvis.py:336-353). Writes ``<fname>.Y.npy``."""
+        (b2_preprocess_lvis.py:336-353). Writes ``<fname>.Y.npy``; a
+        non-empty ``marker`` cooks into the ``out_dir/marker`` subdirectory
+        (the reference keys cook sets by marker — b2:104,
+        DATASET.dataset_marker_{train,valid})."""
         cids = cids or [c for c in CIDS_MONITORED if c in self.info["by_cat"]]
-        os.makedirs(self.out_dir, exist_ok=True)
+        out_dir = os.path.join(self.out_dir, marker) if marker else self.out_dir
+        os.makedirs(out_dir, exist_ok=True)
         written = []
         i = 0
         guard = 0
@@ -171,7 +175,7 @@ class PreprocessLVIS:
             i += 1
             if s is None:
                 continue
-            path = os.path.join(self.out_dir, s.fname + ".Y.npy")
+            path = os.path.join(out_dir, s.fname + ".Y.npy")
             np.save(path, s.mask)
             written.append(path)
         return written
@@ -182,10 +186,17 @@ class DatasetLVIS:
     PreprocessDataset, e_preprocess_scripts/dataset.py:89-142). Yields NHWC
     numpy dicts ready for the jitted step."""
 
-    def __init__(self, cook_dir: str, image_root: str | None = None, canvas: int = 640):
+    def __init__(self, cook_dir: str, image_root: str | None = None,
+                 canvas: int = 640, marker: str = ""):
+        """``marker`` selects the ``cook_dir/marker`` cook set
+        (DATASET.dataset_marker_{train,valid}; the reference keys cooked
+        data by marker subdirectory — e_preprocess_scripts/dataset.py:56-60).
+        Falls back to the flat ``cook_dir`` when the subdirectory is absent."""
         self.canvas = canvas
         self.image_root = image_root
         self.items = []
+        if marker and os.path.isdir(os.path.join(cook_dir, marker)):
+            cook_dir = os.path.join(cook_dir, marker)
         for name in sorted(os.listdir(cook_dir)):
             if not name.endswith(".Y.npy"):
                 continue

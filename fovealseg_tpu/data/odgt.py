@@ -140,6 +140,9 @@ class OdgtDataset:
     gt_gradient_rm_under_repre: float = 0.0  # dataset.py:322-335
     val_central_crop: bool = False  # dataset.py:638-650
     val_central_crop_shape: tuple = (300, 300)
+    # VAL.expand_prediection_rate (sic): scales the val pyramid sizes
+    # (ValDataset.__init__, dataset.py:623-628); only ValDataset reads it
+    expand_prediection_rate: float = 1.0
     samples: list = field(default_factory=list)
 
     def __post_init__(self):
@@ -278,18 +281,33 @@ class ValDataset(OdgtDataset):
 
         rec = self.samples[idx]
         img, segm = self._load_pair(rec)
+        # VAL.expand_prediection_rate scales the whole val pyramid
+        # (imgSizes_val/imgMaxSize_val, dataset.py:623-628)
+        rate = self.expand_prediection_rate
+        sizes = self.imgSizes if isinstance(self.imgSizes, (list, tuple)) else [self.imgSizes]
+        sizes = [s * rate for s in sizes]
+        max_size = self.imgMaxSize * rate
         if self.val_central_crop:
             # DATASET.val_central_crop(_shape): center crop before the
-            # multi-scale pyramid (dataset.py:638-650)
+            # multi-scale pyramid, then imgMaxSize_val = 1 — every pyramid
+            # level feeds the crop at original resolution (scale = 1,
+            # padding-rounded only; dataset.py:638-665)
             cw, ch = self.val_central_crop_shape
             w, h = img.size
             box = ((w - cw) / 2, (h - ch) / 2, (w + cw) / 2, (h + ch) / 2)
             img = img.crop(box)
             segm = segm.crop(box)
+            max_size = 1
         w, h = img.size
         img_list = []
-        for short in (self.imgSizes if isinstance(self.imgSizes, (list, tuple)) else [self.imgSizes]):
-            tw, th = self._scaled_size(w, h, short)
+        for short in sizes:
+            if max_size == 1:
+                tw = round2nearest_multiple(w, self.padding_constant)
+                th = round2nearest_multiple(h, self.padding_constant)
+            else:
+                scale = min(short / float(min(h, w)), max_size / float(max(h, w)))
+                tw = round2nearest_multiple(int(w * scale), self.padding_constant)
+                th = round2nearest_multiple(int(h * scale), self.padding_constant)
             scaled = img.resize((tw, th), Image.BILINEAR)
             img_list.append(self.img_transform(np.asarray(scaled))[None])
         return {

@@ -41,6 +41,18 @@ class BucketedDeform:
     jit compiles once per bucket.
     """
 
+    @classmethod
+    def from_cfg(cls, cfg) -> "BucketedDeform":
+        """Construct from the YACS tree: TRAIN.dynamic_task_input sizes the
+        buckets and TRAIN.dynamic_saliency_relative_size scales the saliency
+        input relative to the derived task size (re_initialise,
+        models/models.py:560-572 and :570 saliency scaling)."""
+        return cls(
+            DeformConfig.from_cfg(cfg),
+            tuple(cfg.TRAIN.dynamic_task_input),
+            saliency_relative=float(cfg.TRAIN.dynamic_saliency_relative_size),
+        )
+
     def __init__(self, base: DeformConfig, dynamic_task_input: tuple[int, int],
                  saliency_relative: float = 1.0, bucket_multiple: int = 32):
         self.base = base

@@ -33,6 +33,7 @@ from fovealseg_tpu.core.gaze import focus_distance_map
 from fovealseg_tpu.core.grid import GridSolver, inverse_grid, inverse_grid_index, pad_saliency
 from fovealseg_tpu.core.interpolate import resize_bilinear
 from fovealseg_tpu.core.unwarp import (
+    fill_values_splat,
     jfa_rounds_from_grid,
     unwarp_argmax_scatter,
     unwarp_labels_fast,
@@ -66,6 +67,16 @@ class DeformConfig:
     # input for efficient inference (eval.py F_Xlr path); 0 = off
     jfa_iters: int = 0  # TPU.jfa_iters: fixed JFA chain length; 0 = derive
     # the round count from the grid geometry at runtime (jfa_rounds_from_grid)
+    # MODEL.gt_gradient family (models/models.py:735-773): detach the
+    # saliency; with fix_gt_gradient replace it by the label-edge sampler
+    gt_gradient: bool = False
+    fix_gt_gradient: bool = False
+    ignore_gt_labels: tuple = ()  # MODEL.ignore_gt_labels -> mapped to 0
+    gt_grad_blur_r: float = 1.0  # MODEL.gt_grad_gaussian_blur_r
+    deform_zero_bound: int = 0  # TRAIN.deform_zero_bound(_factor)
+    # MODEL.loss_at_high_res (models_instance.py:686-786): inverse-warp the
+    # training prediction to full resolution and compute the seg loss there
+    loss_at_high_res: bool = False
 
     @classmethod
     def from_cfg(cls, cfg) -> "DeformConfig":
@@ -89,6 +100,13 @@ class DeformConfig:
             uniform_sample=cfg.MODEL.uniform_sample,
             f_xlr_low_scale=cfg.VAL.F_Xlr_low_scale,
             jfa_iters=cfg.TPU.jfa_iters,
+            gt_gradient=cfg.MODEL.gt_gradient,
+            fix_gt_gradient=cfg.MODEL.fix_gt_gradient,
+            ignore_gt_labels=tuple(cfg.MODEL.ignore_gt_labels),
+            gt_grad_blur_r=float(cfg.MODEL.gt_grad_gaussian_blur_r),
+            deform_zero_bound=(cfg.TRAIN.deform_zero_bound_factor
+                               if cfg.TRAIN.deform_zero_bound else 0),
+            loss_at_high_res=cfg.MODEL.loss_at_high_res,
         )
 
     def solver(self) -> GridSolver:
@@ -161,18 +179,42 @@ class DeformSegmentation(nn.Module):
             )
         return solver.create_grid(xs_hm, task_hw, label_hw)
 
-    def __call__(self, x, focus_point, train: bool = False, xs_override=None):
+    def __call__(self, x, focus_point, train: bool = False, xs_override=None, y=None):
         """Training/warped-domain forward.
 
         x: [B, H, W, 3] in [0, 1]; focus_point: [B, 2] (row, col) in [0, 1].
         ``xs_override`` replaces the predicted saliency with a fixed map
         (detached), the MODEL.gt_gradient "edge-based sampler" motivational
-        mode (models/models.py:735-782). Returns dict(xs, grid, grid_y,
-        x_sampled, pred).
+        mode (models/models.py:735-782); with ``config.gt_gradient`` set and
+        ``y`` given the override is built in-graph from the label. Returns
+        dict(xs, grid, grid_y, x_sampled, pred) (+ ``pred_hr`` under
+        MODEL.loss_at_high_res).
         """
+        c = self.config
         xs = self.saliency(x, focus_point, train=train)
         if xs_override is not None:
             xs = jax.lax.stop_gradient(xs_override)
+        elif c.gt_gradient and y is not None:
+            # MODEL.gt_gradient: the saliency is always detached
+            # (xs.data = xsc.data, models/models.py:773); with
+            # fix_gt_gradient it is replaced per sample by the label-edge
+            # sampler chain (ignore labels -> normalize -> downsample ->
+            # blur(gt_grad_gaussian_blur_r) -> FIND_EDGES -> upsample ->
+            # zero-bound; models/models.py:741-772)
+            if c.fix_gt_gradient:
+                from fovealseg_tpu.core.edges import edge_target_pil_style
+
+                yy = y.astype(jnp.float32)
+                for k in c.ignore_gt_labels:
+                    yy = jnp.where(yy == k, 0.0, yy)
+                ov = edge_target_pil_style(
+                    yy, c.saliency_hw, (xs.shape[1], xs.shape[2]),
+                    c.gt_grad_blur_r, softmax=False,
+                    zero_bound=c.deform_zero_bound,
+                )  # [B, gh, gw, 1], matching the saliency rank
+                xs = jax.lax.stop_gradient(ov.astype(xs.dtype))
+            else:
+                xs = jax.lax.stop_gradient(xs)
         grid, grid_y = self.grids(xs)
         # warp in compute dtype: the gather is latency-bound per row, so
         # halving the row bytes (bf16) nearly halves the warp cost; the
@@ -180,7 +222,35 @@ class DeformSegmentation(nn.Module):
         x_sampled = grid_sample(x.astype(self.dtype), grid)
         feats = self.encoder(x_sampled, train=train)
         pred = self.decoder(feats, train=train)
-        return dict(xs=xs, grid=grid, grid_y=grid_y, x_sampled=x_sampled, pred=pred)
+        out = dict(xs=xs, grid=grid, grid_y=grid_y, x_sampled=x_sampled, pred=pred)
+        if c.loss_at_high_res:
+            # MODEL.loss_at_high_res ablation: inverse-warp the prediction
+            # to (H, W)//segm_downsampling_rate for a full-res seg loss
+            # (models_instance.py:686-690, 754-786). Differentiable wrt
+            # pred: the JFA/fill indices come from the valid mask only,
+            # gradients flow through the row gather.
+            seg_hw = (
+                x.shape[1] // c.segm_downsampling_rate,
+                x.shape[2] // c.segm_downsampling_rate,
+            )
+            task_idx, valid = inverse_grid_index(grid, seg_hw)
+            jfa_iters = c.jfa_iters or None
+            jfa_rounds = None if c.jfa_iters else jfa_rounds_from_grid(grid, seg_hw)
+            if c.rev_deform_interp == "nearest":
+                pred_hr = unwarp_prediction_fast(
+                    pred.astype(jnp.float32), task_idx, valid, jfa_iters, jfa_rounds
+                )
+            else:
+                th, tw = grid.shape[1], grid.shape[2]
+                safe = jnp.maximum(task_idx, 0)
+                gx = jnp.where(valid, (safe % tw) / tw * 2.0 - 1.0, jnp.nan)
+                gy = jnp.where(valid, (safe // tw) / th * 2.0 - 1.0, jnp.nan)
+                grid_inv = jnp.stack([gx, gy], axis=-1)
+                pred_hr = unwarp_prediction(
+                    pred.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp
+                )
+            out["pred_hr"] = pred_hr
+        return out
 
     def infer(
         self,
@@ -253,15 +323,33 @@ class DeformSegmentation(nn.Module):
         if pred_label is not None:
             out["pred_label"] = pred_label
         if y_sampled_reverse and y is not None:
-            # intrinsic-upsampling-error probe: label down then back up.
-            # Labels are categorical — round-trip them with a nearest gather
-            # (reference: grid_sample mode='nearest', models_instance.py:914),
-            # never a bilinear average of class ids.
+            # intrinsic-upsampling-error probe: label down then back up,
+            # branched on rev_deform_interp like the reference
+            # (models_instance.py:910-933)
             y_s = grid_sample(y.astype(jnp.float32)[..., None], grid_y, mode="nearest")
             out["y_sampled"] = y_s[..., 0]
-            out["y_sampled_reverse"] = unwarp_labels_fast(
-                y_s, task_idx, valid, jfa_iters, jfa_rounds
-            )[..., 0]
+            if c.rev_deform_interp == "nearest":
+                # nearest gather (grid_sample mode='nearest', :914) +
+                # nearest hole fill — exact integer round trip
+                out["y_sampled_reverse"] = unwarp_labels_fast(
+                    y_s, task_idx, valid, jfa_iters, jfa_rounds
+                )[..., 0]
+            elif c.rev_deform_interp == "BI":
+                # nearest gather, holes filled by value interpolation
+                # (fillMissingValues BI on raw class ids, :912-920 — the
+                # reference yields fractional labels at holes)
+                grid_safe = jnp.where(jnp.isnan(grid_inv), 0.0, grid_inv)
+                sampled = grid_sample(y_s, grid_safe, mode="nearest")
+                sampled = sampled * valid[..., None].astype(sampled.dtype)
+                out["y_sampled_reverse"] = fill_values_splat(sampled, valid)[..., 0]
+            else:
+                # 'tri' (the defaults.py default): one-hot score planes,
+                # bilinear inverse warp, value fill, argmax (:922-933)
+                scores = jax.nn.one_hot(
+                    y_s[..., 0].astype(jnp.int32), c.num_class, dtype=jnp.float32
+                )
+                rev = unwarp_prediction(scores, grid_inv, valid, interp=c.rev_deform_interp)
+                out["y_sampled_reverse"] = jnp.argmax(rev, axis=-1).astype(jnp.float32)
         if x_sampled_reverse:
             out["x_sampled_reverse"] = unwarp_prediction(
                 x_sampled.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp

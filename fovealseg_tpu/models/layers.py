@@ -123,6 +123,43 @@ def _quantizable(cin: int, cout: int) -> bool:
     return _QUANT_INT8_ENABLED and cin >= QUANT_MIN_CH and cout >= QUANT_MIN_CH
 
 
+# publish mode (quantized_kernel_paths): quantizable TorchConvs register
+# their quant variables during an abstract forward so callers can learn
+# exactly which kernels the int8 path reads (plain nn.Conv layers — dilated
+# trunks, segformer patch embeds — never read quant entries)
+_QUANT_PUBLISH = False
+
+
+@contextlib.contextmanager
+def _quant_publish():
+    global _QUANT_PUBLISH
+    prev = _QUANT_PUBLISH
+    _QUANT_PUBLISH = True
+    try:
+        yield
+    finally:
+        _QUANT_PUBLISH = prev
+
+
+def quantized_kernel_paths(module, variables, *args, method=None, **kwargs):
+    """Scope paths (tuples) of the quant entries ``module`` actually reads.
+
+    Runs ONE abstract forward (jax.eval_shape — no compute, no device use)
+    with the publish flag on; every quantizable TorchConv registers its
+    ``kernel_q``/``w_scale`` variables, so the returned set covers exactly
+    the convs the W8A8 path will consume."""
+    import flax
+
+    def run(vs):
+        with quantization(), _quant_publish():
+            _, mut = module.apply(vs, *args, mutable=["quant"], method=method, **kwargs)
+        return mut
+
+    shapes = jax.eval_shape(run, variables)
+    flat = flax.traverse_util.flatten_dict(shapes.get("quant", {}))
+    return {p[:-1] for p in flat}
+
+
 def quantize_kernel(kernel):
     """(int8 kernel, f32 per-output-channel scale) for a [kh,kw,cin,cout]
     conv weight — symmetric, zero-point 0."""
@@ -131,16 +168,19 @@ def quantize_kernel(kernel):
     return jnp.round(kf / s_w).astype(jnp.int8), s_w
 
 
-def quantize_params(params):
-    """Pre-quantize every quantizable TorchConv kernel in a params pytree.
+def quantize_params(params, paths=None):
+    """Pre-quantize quantizable TorchConv kernels in a params pytree.
 
     Returns the 'quant' variable collection ({... 'kernel_q', 'w_scale'} at
     each conv's scope) to pass alongside params in ``module.apply`` — this
     hoists the per-step in-graph weight max/round (a full read of ~all conv
-    weights per forward) out of the serving loop. Only 4-D kernels with
-    >=QUANT_MIN_CH in and out channels are included, mirroring
-    ``_quantizable`` so every entry is read by its TorchConv.
-    """
+    weights per forward) out of the serving loop.
+
+    ``paths`` (from :func:`quantized_kernel_paths`) restricts the collection
+    to the scopes the module's int8 path actually reads; without it the
+    shape filter alone would also quantize plain ``nn.Conv`` kernels
+    (deeplab's dilated trunk, segformer's patch embeds) whose entries are
+    never consumed — dead device memory in the serving process."""
     import flax
 
     flat = flax.traverse_util.flatten_dict(params)
@@ -151,6 +191,7 @@ def quantize_params(params):
             and getattr(v, "ndim", 0) == 4
             and v.shape[2] >= QUANT_MIN_CH
             and v.shape[3] >= QUANT_MIN_CH
+            and (paths is None or path[:-1] in paths)
         ):
             kq, sw = quantize_kernel(v)
             out[path[:-1] + ("kernel_q",)] = kq
@@ -261,6 +302,10 @@ class TorchConv(nn.Module):
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
         pack = _pack_factor(x.shape, k, self.stride, self.padding, self.features)
         if _quantizable(x.shape[-1], self.features):
+            if _QUANT_PUBLISH and not self.has_variable("quant", "kernel_q"):
+                pair = quantize_kernel(kernel)
+                self.variable("quant", "kernel_q", lambda: pair[0])
+                self.variable("quant", "w_scale", lambda: pair[1])
             if self.has_variable("quant", "kernel_q"):
                 y = _int8_conv(
                     x, kernel, self.stride, self.padding,

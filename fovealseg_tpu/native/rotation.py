@@ -142,6 +142,10 @@ class Rotation:
         if degrees:
             ang = np.deg2rad(ang)
         if len(axes) == 1:
+            # scalar -> one rotation; a 1-D multi-angle array is rejected
+            # below, matching the installed scipy (1.17) oracle — older
+            # scipy (<=1.6, the reference's vendored era) accepted (n,) as
+            # a stack for single-axis sequences
             ang = ang.reshape(ang.shape + (1,)) if ang.ndim == 0 else ang
         single = ang.ndim <= 1
         ang = np.atleast_2d(ang)

@@ -49,7 +49,8 @@ def _batch_specs(batch: dict, axis: str) -> dict:
     return {k: (P() if k in _REPLICATED_KEYS else P(axis)) for k in batch}
 
 
-def make_parallel_train_step(module, tx, lcfg, mesh: Mesh, axis: str = "data"):
+def make_parallel_train_step(module, tx, lcfg, mesh: Mesh, axis: str = "data",
+                             fix_bn: bool = False):
     """shard_map-wrapped train step: state replicated, batch sharded.
 
     The inner per-shard step is the same function used single-device
@@ -58,7 +59,7 @@ def make_parallel_train_step(module, tx, lcfg, mesh: Mesh, axis: str = "data"):
     """
     from fovealseg_tpu.train.step import make_train_step
 
-    inner = make_train_step(module, tx, lcfg, axis_name=axis)
+    inner = make_train_step(module, tx, lcfg, axis_name=axis, fix_bn=fix_bn)
 
     def sharded(state: TrainState, batch: dict, rng):
         # distinct dropout streams per replica
@@ -190,7 +191,7 @@ def make_gspmd_eval_step(module, lcfg, mesh: Mesh, state,
 
 
 def make_gspmd_train_step(module, tx, lcfg, mesh: Mesh, state,
-                          min_channels: int = 256):
+                          min_channels: int = 256, fix_bn: bool = False):
     """2-D-mesh training step: batch over 'data', wide weights over 'model'.
 
     ``state`` is a template used to derive the sharding tree. BN stats sync
@@ -199,7 +200,7 @@ def make_gspmd_train_step(module, tx, lcfg, mesh: Mesh, state,
     """
     from fovealseg_tpu.train.step import make_train_step
 
-    inner = make_train_step(module, tx, lcfg, axis_name=None)
+    inner = make_train_step(module, tx, lcfg, axis_name=None, fix_bn=fix_bn)
     state_sh = state_shardings_2d(state, mesh, min_channels)
     batch_sh = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())

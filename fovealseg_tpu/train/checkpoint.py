@@ -187,3 +187,19 @@ def load_torch_checkpoint(ckpt_dir: str, epoch, params: dict, batch_stats: dict)
             sd = torch.load(path, map_location="cpu", weights_only=True)
             sds[kind] = {k: v.numpy() for k, v in sd.items()}
     return import_torch_state_dict(sds, params, batch_stats)
+
+
+def load_torch_weight_files(paths: dict, params: dict, batch_stats: dict):
+    """Per-net explicit .pth paths — the MODEL.weights_{encoder,decoder,
+    net_saliency,net_compress} surface (ModelBuilder strict=False loads,
+    models/models.py:1174-1230). ``paths`` maps subtree kind
+    ('encoder'/'decoder'/'saliency'/'compress') to a file path; empty
+    entries are skipped."""
+    import torch
+
+    sds = {}
+    for kind, path in paths.items():
+        if path:
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            sds[kind] = {k: v.numpy() for k, v in sd.items()}
+    return import_torch_state_dict(sds, params, batch_stats)

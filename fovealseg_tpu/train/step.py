@@ -121,8 +121,22 @@ def compute_losses(
     label = y_sampled.astype(jnp.int32)
     gt = label * cls[:, None, None] + (1 - label) * bg
 
-    focal = L.focal_loss(pred, gt, lcfg.focal_gamma)
-    dice = L.dice_loss_multiclass(pred, gt)
+    if "pred_hr" in out:
+        # MODEL.loss_at_high_res: seg loss on the inverse-warped full-res
+        # prediction against the full-res label (models_instance.py:783-786);
+        # the gt composition mirrors the warped-domain formula (the
+        # reference's high-res branch predates its instance gt composition)
+        pred_hr = out["pred_hr"].astype(jnp.float32)
+        y_hr = y
+        if y.shape[1:3] != pred_hr.shape[1:3]:
+            y_hr = jax.image.resize(y, (y.shape[0],) + pred_hr.shape[1:3], "nearest")
+        label_hr = y_hr.astype(jnp.int32)
+        gt_loss_pred, gt_loss_gt = pred_hr, label_hr * cls[:, None, None] + (1 - label_hr) * bg
+    else:
+        gt_loss_pred, gt_loss_gt = pred, gt
+
+    focal = L.focal_loss(gt_loss_pred, gt_loss_gt, lcfg.focal_gamma)
+    dice = L.dice_loss_multiclass(gt_loss_pred, gt_loss_gt)
     loss = dice + focal
     if lcfg.deform_joint_loss:
         loss = loss + e_loss
@@ -139,10 +153,10 @@ def compute_losses(
         "dice_loss": dice,
         "focal_loss": focal,
         "edge_loss": e_loss,
-        "acc": M.pixel_acc(pred, gt, bg),
-        "acc_bin_fg": M.fg_bin_pixel_acc(pred, gt, bg),
-        "acc_cls_fbg": M.fbg_cls_pixel_acc(pred, gt, bg),
-        "acc_bin_fbg": M.fbg_bin_pixel_acc(pred, gt, bg),
+        "acc": M.pixel_acc(gt_loss_pred, gt_loss_gt, bg),
+        "acc_bin_fg": M.fg_bin_pixel_acc(gt_loss_pred, gt_loss_gt, bg),
+        "acc_cls_fbg": M.fbg_cls_pixel_acc(gt_loss_pred, gt_loss_gt, bg),
+        "acc_bin_fbg": M.fbg_bin_pixel_acc(gt_loss_pred, gt_loss_gt, bg),
     }
     return loss, mets
 
@@ -152,26 +166,42 @@ def make_train_step(
     tx: optax.GradientTransformation,
     lcfg: LossConfig,
     axis_name: Optional[str] = None,
+    fix_bn: bool = False,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     When ``axis_name`` is set the step is meant to run inside
     shard_map/pmap over that axis: grads and metrics are ``pmean``-reduced
     (BN cross-replica stats are handled by the module's own axis_name).
+
+    ``fix_bn`` (TRAIN.fix_bn): the reference trains with the module in eval
+    mode — ``segmentation_module.train(not cfg.TRAIN.fix_bn)``
+    (train_deform_semantic.py:69) — so BN uses (and never updates) running
+    stats and dropout is inactive, while grads still flow.
     """
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        out, mutated = module.apply(
-            variables,
-            batch["img_data"],
-            batch["focus_point"],
-            train=True,
-            rngs={"dropout": rng},
-            mutable=["batch_stats"],
-        )
+        y = batch["seg_label"] if module.config.gt_gradient else None
+        if fix_bn:
+            out = module.apply(
+                variables, batch["img_data"], batch["focus_point"],
+                train=False, y=y,
+            )
+            new_stats = batch_stats
+        else:
+            out, mutated = module.apply(
+                variables,
+                batch["img_data"],
+                batch["focus_point"],
+                train=True,
+                y=y,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
         loss, mets = compute_losses(out, batch, lcfg)
-        return loss, (mets, mutated["batch_stats"])
+        return loss, (mets, new_stats)
 
     def train_step(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -194,8 +224,9 @@ def make_eval_step(module, lcfg: LossConfig, axis_name: Optional[str] = None):
 
     def eval_step(params, batch_stats, batch) -> dict:
         variables = {"params": params, "batch_stats": batch_stats}
+        y = batch["seg_label"] if module.config.gt_gradient else None
         out = module.apply(
-            variables, batch["img_data"], batch["focus_point"], train=False
+            variables, batch["img_data"], batch["focus_point"], train=False, y=y
         )
         _, mets = compute_losses(out, batch, lcfg)
         if axis_name is not None:

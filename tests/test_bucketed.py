@@ -25,3 +25,16 @@ def test_bucket_cache_reuse():
     assert m1 is m3
     assert m1.config.task_hw == (16, 16)
     assert m2.config.task_hw[0] >= 16
+
+
+def test_from_cfg_wires_dynamic_saliency_relative_size():
+    from fovealseg_tpu.configs import get_default_cfg
+    from fovealseg_tpu.models.bucketed import BucketedDeform
+
+    cfg = get_default_cfg()
+    cfg.TRAIN.dynamic_task_input = (32, 32)
+    cfg.TRAIN.dynamic_saliency_relative_size = 0.5
+    bd = BucketedDeform.from_cfg(cfg)
+    m = bd.module_for((64, 64))
+    # task derived from the bucket, saliency at half the task size
+    assert m.config.saliency_hw == (m.config.task_hw[0] // 2, m.config.task_hw[1] // 2)

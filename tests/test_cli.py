@@ -115,7 +115,7 @@ def test_cli_eval_visualize(tmp_path):
          "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
          % (REPO, os.path.join(REPO, "cli", "eval.py")),
          "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
-         "--num-batches", "2",
+         "--num-batches", "2", "--canvas", "64",
          *TINY_OPTS, "VAL.batch_size", "2",
          "VAL.visualize", "True",
          "DIR", str(tmp_path / "run")],

@@ -59,3 +59,21 @@ def test_clone_independent():
     c2 = cfg.clone()
     c2.TRAIN.num_epoch = 999
     assert cfg.TRAIN.num_epoch != 999
+
+
+def test_audit_dead_keys_warns(caplog):
+    import logging
+
+    from fovealseg_tpu.configs import audit_dead_keys, get_default_cfg
+
+    cfg = get_default_cfg()
+    assert audit_dead_keys(cfg) == []  # defaults are silent
+    cfg.TRAIN.loss_fun = "NLLLoss"
+    cfg.VAL.max_score = True
+    cfg.TRAIN.opt_deform_LabelEdge_accrate = 1.1
+    with caplog.at_level(logging.WARNING, logger="fovealseg"):
+        hits = audit_dead_keys(cfg)
+    assert set(hits) == {"TRAIN.loss_fun", "VAL.max_score",
+                         "TRAIN.opt_deform_LabelEdge_accrate"}
+    assert "dead config key" in caplog.text
+    assert "zoom" in caplog.text  # the accrate upstream-bug explanation

@@ -107,13 +107,15 @@ def test_odgt_train_and_val(tmp_path, rng):
 def _cityscapes_fixture(tmp_path):
     gt = tmp_path / "gtFine" / "train" / "city"
     gt.mkdir(parents=True)
-    # person occludes half the car (earlier in the list = painted on top)
+    # raw JSON order is adversarial (annotation order, car first):
+    # get_objs_ordered must sort by label priority (person < car < sky) so
+    # the person ends up painted on top of the car (b3:313-323)
     meta = {
         "imgHeight": 100, "imgWidth": 200,
         "objects": [
-            {"label": "person", "polygon": [[40, 10], [90, 10], [90, 70], [40, 70]]},
             {"label": "car", "polygon": [[20, 20], [80, 20], [80, 60], [20, 60]]},
             {"label": "sky", "polygon": [[0, 0], [199, 0], [199, 9], [0, 9]]},
+            {"label": "person", "polygon": [[40, 10], [90, 10], [90, 70], [40, 70]]},
         ],
     }
     (gt / "city_000000_gtFine_polygons.json").write_text(json.dumps(meta))
@@ -310,12 +312,30 @@ def test_odgt_binary_class_mapping():
 
 def test_odgt_val_central_crop(tmp_path, rng):
     odgt = _write_odgt(tmp_path, rng, n=2, square=True)
+    # imgSizes short side 16 would normally downscale the crop; central crop
+    # forces scale=1 for every pyramid level (imgMaxSize_val=1 side effect,
+    # dataset.py:650,663-665) so each level is the crop at original
+    # resolution, padding-rounded only
     vds = ValDataset(str(tmp_path), str(odgt), list_train="ADE_val",
-                     imgSizes=(32,), imgMaxSize=64, padding_constant=8,
+                     imgSizes=(16, 32), imgMaxSize=64, padding_constant=8,
                      val_central_crop=True, val_central_crop_shape=(32, 48))
     v = vds[0]
     assert v["seg_label"].shape == (1, 48, 32)  # (H, W) after (w=32, h=48) crop
     assert v["img_ori"].shape[:2] == (48, 32)
+    assert [im.shape for im in v["img_data"]] == [(1, 48, 32, 3)] * 2
+
+
+def test_odgt_val_expand_prediection_rate(tmp_path, rng):
+    odgt = _write_odgt(tmp_path, rng, n=1, square=True)
+    base = ValDataset(str(tmp_path), str(odgt), list_train="ADE_val",
+                      imgSizes=(16,), imgMaxSize=64, padding_constant=8)
+    wide = ValDataset(str(tmp_path), str(odgt), list_train="ADE_val",
+                      imgSizes=(16,), imgMaxSize=64, padding_constant=8,
+                      expand_prediection_rate=2)
+    h0, w0 = base[0]["img_data"][0].shape[1:3]
+    h1, w1 = wide[0]["img_data"][0].shape[1:3]
+    # the whole val pyramid scales by the rate (dataset.py:623-628)
+    assert (h1, w1) == (2 * h0, 2 * w0)
 
 
 def test_dead_reference_options_warn(caplog):
@@ -420,3 +440,27 @@ def test_make_batch_device_contract():
         assert b["seg_label"][i, fy, fx] == 1.0, (i, fy, fx)
         inside = b["seg_label"][i] > 0.5
         assert b["img_data"][i][inside].mean() > b["img_data"][i][~inside].mean()
+
+
+def test_lvis_marker_subdir(tmp_path, rng):
+    """DATASET.dataset_marker_{train,valid}: cook sets live in marker
+    subdirectories (b2:104; e_preprocess_scripts/dataset.py:56-60) and the
+    runtime dataset selects by marker, falling back to the flat layout."""
+    lvis = {
+        "images": [{"id": 1, "height": 100, "width": 120}],
+        "annotations": [
+            {"id": 10, "image_id": 1, "category_id": CIDS_MONITORED[0],
+             "segmentation": [[10, 10, 60, 10, 60, 50, 10, 50]]},
+        ],
+    }
+    jpath = tmp_path / "lvis.json"
+    jpath.write_text(json.dumps(lvis))
+    cook_dir = tmp_path / "cook"
+    pre = PreprocessLVIS(str(jpath), str(cook_dir), canvas=128)
+    written = pre.make_n_samples(1, marker="sp1")
+    assert len(written) == 1
+    assert os.path.basename(os.path.dirname(written[0])) == "sp1"
+    ds = DatasetLVIS(str(cook_dir), canvas=128, marker="sp1")
+    assert len(ds) == 1
+    # a marker with no subdirectory falls back to the flat dir (empty here)
+    assert len(DatasetLVIS(str(cook_dir), canvas=128, marker="nope")) == 0

@@ -139,6 +139,42 @@ def test_infer_y_sampled_reverse_is_integer_labels():
     assert got <= {0.0, 3.0, 17.0, 50.0}, got
 
 
+def test_infer_y_sampled_reverse_tri_one_hot_argmax():
+    """For rev_deform_interp='tri' (the defaults.py default) the reference
+    one-hot-encodes the warped label, inverse-warps the score planes, fills,
+    and argmaxes (models_instance.py:922-933) — the probe output must be
+    integer class ids, never blended values."""
+    cfg = DeformConfig(
+        task_hw=(16, 16),
+        task_hw_infer=(16, 16),
+        saliency_hw=(16, 16),
+        gaussian_radius=5,
+        arch_encoder="hrnetv2_nodownsp_tiny",
+        rev_deform_interp="tri",
+        num_class=51,
+    )
+    module = DeformSegmentation(config=cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    f = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    y = np.full((1, 64, 64), 50, np.int32)
+    y[0, 16:48, 16:48] = 3
+    params = module.init(jax.random.PRNGKey(0), x, f)
+    out = module.apply(
+        params, x, f, y=jnp.asarray(y), y_sampled_reverse=True,
+        method=DeformSegmentation.infer,
+    )
+    rev = np.asarray(out["y_sampled_reverse"])
+    assert rev.shape == (1, 64, 64)
+    got = set(np.unique(rev).tolist())
+    allowed = set(np.unique(np.asarray(out["y_sampled"])).tolist())
+    assert got <= allowed, (got, allowed)
+    # the round trip should roughly reconstruct the big center square
+    inter = np.sum((rev == 3) & (y == 3))
+    union = np.sum((rev == 3) | (y == 3))
+    assert inter / union > 0.5, inter / union
+
+
 def test_segmentation_module_deepsup():
     """Non-deform SegmentationModule with a deep-supervision decoder: tuple
     output + deep_sup_scale loss combination (models/models.py:1097-1144)."""

@@ -122,6 +122,36 @@ def test_prequantized_weights_match_in_graph():
     assert layers.quantize_params(v64["params"]) == {}
 
 
+def test_quantized_kernel_paths_exclude_plain_nn_conv():
+    """quantized_kernel_paths covers exactly the TorchConv scopes; a plain
+    nn.Conv kernel of quantizable shape (e.g. deeplab's dilated trunk) is
+    excluded from quantize_params when the paths filter is applied —
+    otherwise its quant entries would be dead device memory."""
+    import flax.linen as nn
+
+    class Mixed(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = layers.conv2d(128, 1, 1, 0, name="tconv")(x)
+            return nn.Conv(128, (3, 3), padding="SAME", name="pconv")(x)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 128)), jnp.float32)
+    mod = Mixed()
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    paths = layers.quantized_kernel_paths(mod, variables, x)
+    assert paths == {("tconv",)}
+    quant = layers.quantize_params(variables["params"], paths)
+    assert "tconv" in quant and "pconv" not in quant
+    # unfiltered, the shape heuristic alone would have included pconv
+    assert "pconv" in layers.quantize_params(variables["params"])
+    # the filtered collection drives the same bit-exact int8 path
+    with layers.quantization():
+        in_graph = mod.apply(variables, x)
+        pre = mod.apply({**variables, "quant": quant}, x)
+    np.testing.assert_array_equal(np.asarray(pre), np.asarray(in_graph))
+
+
 def test_quantize_config_key():
     from fovealseg_tpu.configs import get_default_cfg
 

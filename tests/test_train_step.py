@@ -165,3 +165,102 @@ def test_dropout_rng_impl_rbg_step():
     step = jax.jit(make_train_step(module, tx, LossConfig.from_cfg(cfg)))
     _, mets = step(state, batch, jax.random.key(1, impl=cfg.TPU.dropout_rng_impl))
     assert np.isfinite(float(mets["loss"]))
+
+
+def test_fix_bn_freezes_batch_stats(tiny_cfg, rng):
+    """TRAIN.fix_bn: the reference trains the module in eval mode
+    (train_deform_semantic.py:69) — BN running stats must not move while
+    params still update."""
+    dc = DeformConfig.from_cfg(tiny_cfg)
+    module = DeformSegmentation(config=dc)
+    tx = create_optimizer(tiny_cfg)
+    lcfg = LossConfig.from_cfg(tiny_cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, batch=2, canvas=64).items()}
+    state = init_state(module, tx, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(module, tx, lcfg, fix_bn=True))
+    new_state, mets = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(mets["loss"]))
+    # stats untouched bit-for-bit
+    for a, b in zip(jax.tree.leaves(state.batch_stats), jax.tree.leaves(new_state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params did update
+    diffs = [float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params))]
+    assert max(diffs) > 0
+
+
+def test_gt_gradient_label_edge_sampler(tiny_cfg, rng):
+    """MODEL.gt_gradient + fix_gt_gradient: the saliency is replaced by the
+    label-edge map, detached — no gradient reaches the saliency branch
+    (models/models.py:735-773)."""
+    cfg = tiny_cfg.clone()
+    cfg.MODEL.gt_gradient = True
+    cfg.MODEL.fix_gt_gradient = True
+    dc = DeformConfig.from_cfg(cfg)
+    assert dc.gt_gradient and dc.fix_gt_gradient
+    module = DeformSegmentation(config=dc)
+    tx = create_optimizer(cfg)
+    lcfg = LossConfig.from_cfg(cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, batch=2, canvas=64).items()}
+    state = init_state(module, tx, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(module, tx, lcfg))
+    new_state, mets = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(mets["loss"]))
+    # the saliency branch (localization + compress) gets exactly zero
+    # gradient (the torch-Adam-style additive weight decay still moves the
+    # params, so compare grads, not params)
+    from fovealseg_tpu.train.step import compute_losses
+
+    def loss_fn(params):
+        out, _ = module.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["img_data"], batch["focus_point"], train=True,
+            y=batch["seg_label"], rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+        return compute_losses(out, batch, lcfg)[0]
+
+    g = jax.jit(jax.grad(loss_fn))(state.params)
+    for sub in ("localization", "net_compress"):
+        assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g[sub])) == 0.0
+    # ... while the segmentation branch does learn
+    assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g["encoder"])) > 0.0
+    # the xs the grid saw is the label-edge map, not the net's prediction
+    out_gt = module.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["img_data"], batch["focus_point"], train=False,
+        y=batch["seg_label"],
+    )
+    plain = DeformSegmentation(config=DeformConfig.from_cfg(tiny_cfg))
+    out_plain = plain.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["img_data"], batch["focus_point"], train=False,
+    )
+    assert not np.allclose(np.asarray(out_gt["xs"]), np.asarray(out_plain["xs"]))
+
+
+def test_loss_at_high_res(tiny_cfg, rng):
+    """MODEL.loss_at_high_res: the seg loss is computed on the inverse-warped
+    full-res prediction (models_instance.py:686-786) and still trains."""
+    cfg = tiny_cfg.clone()
+    cfg.MODEL.loss_at_high_res = True
+    dc = DeformConfig.from_cfg(cfg)
+    module = DeformSegmentation(config=dc)
+    tx = create_optimizer(cfg)
+    lcfg = LossConfig.from_cfg(cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, batch=2, canvas=64).items()}
+    state = init_state(module, tx, jax.random.PRNGKey(0), batch)
+    out = module.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["img_data"], batch["focus_point"], train=False,
+    )
+    assert out["pred_hr"].shape == (2, 64, 64, 51)
+    step = jax.jit(make_train_step(module, tx, lcfg))
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        state, mets = step(state, batch, sub)
+        losses.append(float(mets["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
