@@ -219,7 +219,7 @@ def main(argv=None):
     yrev_inter = yrev_union = None  # intrinsic-upsampling-error probe
     dices: list = []
     hd95s: list = []
-    trimaps: list = []
+    trimaps: dict = {}  # dilation width -> per-sample band accuracies
     for batch in loader():
         x = jnp.asarray(batch["img_data"])
         f = jnp.asarray(batch["focus_point"])
@@ -261,19 +261,23 @@ def main(argv=None):
                 if h == h:
                     hd95s.append(h)
             if cfg.VAL.trimap:
-                t = M.trimap_accuracy(pred[b], gt[b], cfg.VAL.trimap_dia_factor)
-                if t == t:
-                    trimaps.append(t)
-                if cfg.VAL.trimap_visual_check:
-                    # band/masked-label/masked-pred npy dump set
-                    # (reference trim_accuracy, eval.py:56-66)
-                    tdir = os.path.join(cfg.DIR, "trimap_visual_check")
-                    os.makedirs(tdir, exist_ok=True)
-                    band = M.trimap_band(gt[b], cfg.VAL.trimap_dia_factor)
-                    w = cfg.VAL.trimap_dia_factor
-                    np.save(os.path.join(tdir, f"seg_label_Edges_dil_{w}.npy"), band)
-                    np.save(os.path.join(tdir, f"masked_label_dil_{w}.npy"), band * gt[b])
-                    np.save(os.path.join(tdir, f"masked_pred_dil_{w}.npy"), band * pred[b])
+                # the reference evaluates one band per dilation width
+                # 2^i, i in 0..trimap_dia_factor (trim_accuracy,
+                # eval.py:50-66), not a single band
+                for i_w in range(cfg.VAL.trimap_dia_factor + 1):
+                    w = 2 ** i_w
+                    t = M.trimap_accuracy(pred[b], gt[b], w)
+                    if t == t:
+                        trimaps.setdefault(w, []).append(t)
+                    if cfg.VAL.trimap_visual_check:
+                        # band/masked-label/masked-pred npy dump set
+                        # (reference trim_accuracy, eval.py:56-66)
+                        tdir = os.path.join(cfg.DIR, "trimap_visual_check")
+                        os.makedirs(tdir, exist_ok=True)
+                        band = M.trimap_band(gt[b], w)
+                        np.save(os.path.join(tdir, f"seg_label_Edges_dil_{w}.npy"), band)
+                        np.save(os.path.join(tdir, f"masked_label_dil_{w}.npy"), band * gt[b])
+                        np.save(os.path.join(tdir, f"masked_pred_dil_{w}.npy"), band * pred[b])
         n += 1
 
     iou = np.asarray(inter_sum) / np.maximum(np.asarray(union_sum), 1e-10)
@@ -289,7 +293,19 @@ def main(argv=None):
     if hd95s:
         result["hd95"] = float(np.mean(hd95s))
     if trimaps:
-        result["trimap_acc"] = float(np.mean(trimaps))
+        # per-width mean band accuracy + the reference's
+        # trimap_last_count_{N}.csv table (eval.py:295-310)
+        widths = sorted(trimaps)
+        result["trimap_acc"] = {int(w): float(np.mean(trimaps[w])) for w in widths}
+        import csv
+
+        count = len(trimaps[widths[0]])
+        with open(os.path.join(cfg.DIR, f"trimap_last_count_{count}.csv"),
+                  "w", newline="") as fh:
+            cw = csv.writer(fh)
+            cw.writerow(["idx", "trim_acc", "trim_width"])
+            for i_r, w in enumerate(widths):
+                cw.writerow([i_r, float(np.mean(trimaps[w])), w])
     if rev_y and yrev_union is not None:
         yiou = np.asarray(yrev_inter) / np.maximum(np.asarray(yrev_union), 1e-10)
         ypresent = np.asarray(yrev_union) > 0

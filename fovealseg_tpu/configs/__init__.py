@@ -39,6 +39,10 @@ DEAD_REFERENCE_KEYS = {
     "VAL": ("F_Xlr_only", "F_Xlr_acc_map_only", "all_F_Xlr_time",
             "expand_prediection_rate_patch", "foveated_expection",
             "hard_max_fov", "max_score", "multipro", "rename_eval_folder"),
+    # the reference ships no test driver: TestDataset and the whole TEST
+    # group are unreachable upstream (data/odgt.py::TestDataset exists here
+    # for inventory completeness)
+    "TEST": ("checkpoint", "result", "batch_size"),
 }
 
 

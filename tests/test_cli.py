@@ -227,3 +227,43 @@ def test_cli_train_2d_mesh(tmp_path):
     assert "2-D mesh: dp=4 x mp=2" in (out.stdout + out.stderr)
     assert (tmp_path / "run" / "eval_history.csv").exists()
     assert (tmp_path / "run" / "epoch_last").exists()
+
+
+@pytest.mark.slow
+def test_cli_eval_trimap_family(tmp_path):
+    """VAL.dice / VAL.trimap per-width bands + trimap_last_count CSV +
+    trimap_visual_check npy dumps (reference eval.py:50-66, 295-310)."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_tests');"
+         "import sys; sys.argv=['eval'] + sys.argv[1:];"
+         "sys.path.insert(0, %r); import importlib.util;"
+         "spec = importlib.util.spec_from_file_location('clieval', %r);"
+         "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
+         % (REPO, os.path.join(REPO, "cli", "eval.py")),
+         "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
+         "--num-batches", "1", "--canvas", "64",
+         *TINY_OPTS, "VAL.batch_size", "2",
+         "VAL.dice", "True",
+         "VAL.trimap", "True",
+         "VAL.trimap_dia_factor", "2",
+         "VAL.trimap_visual_check", "True",
+         "DIR", str(tmp_path / "run")],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    # per-width band accuracies for widths 1, 2, 4 (2^i, i<=dia_factor)
+    assert set(res["trimap_acc"].keys()) == {"1", "2", "4"}
+    assert all(0.0 <= v <= 1.0 for v in res["trimap_acc"].values())
+    assert 0.0 <= res["dice"] <= 1.0
+    run = tmp_path / "run"
+    csvs = list(run.glob("trimap_last_count_*.csv"))
+    assert len(csvs) == 1, list(run.iterdir())
+    assert "trim_width" in csvs[0].read_text()
+    tvc = run / "trimap_visual_check"
+    names = {p.name for p in tvc.iterdir()}
+    for w in (1, 2, 4):
+        assert f"seg_label_Edges_dil_{w}.npy" in names, names
+        assert f"masked_pred_dil_{w}.npy" in names
