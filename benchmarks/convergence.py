@@ -177,7 +177,10 @@ def main():
             ckptr.save(tmp, jax.device_get({"state": state, "step": start + CHUNK}))
             shutil.rmtree(path, ignore_errors=True)
             os.replace(tmp, path)
-    print(json.dumps({"batch": BATCH, "steps": steps, "history": history}))
+    # start_step makes resumed runs explicit: history covers
+    # (start_step, steps] only — splice earlier logs for the full curve
+    print(json.dumps({"batch": BATCH, "steps": steps, "start_step": start0,
+                      "history": history}))
 
 
 if __name__ == "__main__":

@@ -269,9 +269,12 @@ def main(argv=None):
                     t = M.trimap_accuracy(pred[b], gt[b], w)
                     if t == t:
                         trimaps.setdefault(w, []).append(t)
-                    if cfg.VAL.trimap_visual_check:
+                    if cfg.VAL.trimap_visual_check and n == 0 and b == 0:
                         # band/masked-label/masked-pred npy dump set
-                        # (reference trim_accuracy, eval.py:56-66)
+                        # (reference trim_accuracy, eval.py:56-66) — the
+                        # filenames are width-keyed only, so dump once
+                        # (the reference overwrites per sample; the last
+                        # write is the only survivor there)
                         tdir = os.path.join(cfg.DIR, "trimap_visual_check")
                         os.makedirs(tdir, exist_ok=True)
                         band = M.trimap_band(gt[b], w)

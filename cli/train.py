@@ -239,12 +239,23 @@ def main(argv=None):
 
     if cfg.MODEL.gt_gradient and cfg.MODEL.gt_gradient_intrinsic_only:
         # intrinsic-only study: forward + metrics, NO backward/step
-        # (train_deform_semantic.py:113 skips loss.backward entirely)
-        _inner_step = train_step
+        # (train_deform_semantic.py:113 skips loss.backward entirely) — a
+        # dedicated forward-only jitted step; running the grad step and
+        # discarding its update would pay ~3x for nothing. BN running stats
+        # still update (the reference's train-mode forward does too).
+        from fovealseg_tpu.train.step import TrainState, compute_losses
 
+        @jax.jit
         def train_step(state, batch, rng):  # noqa: F811
-            _, mets = _inner_step(state, batch, rng)
-            return state, mets
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            y = batch["seg_label"] if dc.gt_gradient else None
+            out, mut = init_module.apply(
+                variables, batch["img_data"], batch["focus_point"], train=True,
+                y=y, rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            _, mets = compute_losses(out, batch, lcfg)
+            return TrainState(state.params, mut["batch_stats"], state.opt_state,
+                              state.step + 1), mets
 
         log.info("gt_gradient_intrinsic_only: optimizer updates disabled")
 

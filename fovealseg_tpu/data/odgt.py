@@ -180,8 +180,16 @@ class OdgtDataset:
         segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
         return img, segm
 
-    def _scaled_size(self, w: int, h: int, this_short_size: int):
-        scale = min(this_short_size / float(min(h, w)), self.imgMaxSize / float(max(h, w)))
+    def _scaled_size(self, w: int, h: int, this_short_size: float,
+                     max_size: float | None = None):
+        """Target (w, h) for one pyramid level. ``max_size`` overrides
+        imgMaxSize; 1 means scale=1 (the central-crop imgMaxSize_val=1
+        convention, dataset.py:650,663-665)."""
+        max_size = self.imgMaxSize if max_size is None else max_size
+        if max_size == 1:
+            scale = 1.0
+        else:
+            scale = min(this_short_size / float(min(h, w)), max_size / float(max(h, w)))
         tw = round2nearest_multiple(int(w * scale), self.padding_constant)
         th = round2nearest_multiple(int(h * scale), self.padding_constant)
         return tw, th
@@ -301,13 +309,7 @@ class ValDataset(OdgtDataset):
         w, h = img.size
         img_list = []
         for short in sizes:
-            if max_size == 1:
-                tw = round2nearest_multiple(w, self.padding_constant)
-                th = round2nearest_multiple(h, self.padding_constant)
-            else:
-                scale = min(short / float(min(h, w)), max_size / float(max(h, w)))
-                tw = round2nearest_multiple(int(w * scale), self.padding_constant)
-                th = round2nearest_multiple(int(h * scale), self.padding_constant)
+            tw, th = self._scaled_size(w, h, short, max_size=max_size)
             scaled = img.resize((tw, th), Image.BILINEAR)
             img_list.append(self.img_transform(np.asarray(scaled))[None])
         return {

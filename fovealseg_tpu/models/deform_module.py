@@ -201,7 +201,9 @@ class DeformSegmentation(nn.Module):
             # sampler chain (ignore labels -> normalize -> downsample ->
             # blur(gt_grad_gaussian_blur_r) -> FIND_EDGES -> upsample ->
             # zero-bound; models/models.py:741-772)
-            if c.fix_gt_gradient:
+            if c.fix_gt_gradient and not (c.uniform_sample == "BI" and c.num_class == 2):
+                # the reference skips the replacement for the uniform-BI
+                # binary config (models/models.py:741)
                 from fovealseg_tpu.core.edges import edge_target_pil_style
 
                 yy = y.astype(jnp.float32)

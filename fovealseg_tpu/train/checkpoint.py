@@ -178,28 +178,26 @@ def import_torch_state_dict(
 
 def load_torch_checkpoint(ckpt_dir: str, epoch, params: dict, batch_stats: dict):
     """Load the reference's 4 .pth files for one epoch (requires torch)."""
-    import torch
-
-    sds = {}
-    for kind in ("encoder", "decoder", "saliency", "compress"):
-        path = os.path.join(ckpt_dir, f"{kind}_epoch_{epoch}.pth")
-        if os.path.exists(path):
-            sd = torch.load(path, map_location="cpu", weights_only=True)
-            sds[kind] = {k: v.numpy() for k, v in sd.items()}
-    return import_torch_state_dict(sds, params, batch_stats)
+    return load_torch_weight_files(
+        {kind: os.path.join(ckpt_dir, f"{kind}_epoch_{epoch}.pth")
+         for kind in ("encoder", "decoder", "saliency", "compress")},
+        params, batch_stats, skip_missing=True,
+    )
 
 
-def load_torch_weight_files(paths: dict, params: dict, batch_stats: dict):
+def load_torch_weight_files(paths: dict, params: dict, batch_stats: dict,
+                            skip_missing: bool = False):
     """Per-net explicit .pth paths — the MODEL.weights_{encoder,decoder,
     net_saliency,net_compress} surface (ModelBuilder strict=False loads,
     models/models.py:1174-1230). ``paths`` maps subtree kind
     ('encoder'/'decoder'/'saliency'/'compress') to a file path; empty
-    entries are skipped."""
+    entries are skipped, missing files too when ``skip_missing``."""
     import torch
 
     sds = {}
     for kind, path in paths.items():
-        if path:
-            sd = torch.load(path, map_location="cpu", weights_only=True)
-            sds[kind] = {k: v.numpy() for k, v in sd.items()}
+        if not path or (skip_missing and not os.path.exists(path)):
+            continue
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sds[kind] = {k: v.numpy() for k, v in sd.items()}
     return import_torch_state_dict(sds, params, batch_stats)

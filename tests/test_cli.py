@@ -60,7 +60,10 @@ def test_cli_eval_smoke(tmp_path):
          "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
          % (REPO, os.path.join(REPO, "cli", "eval.py")),
          "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
-         "--num-batches", "2",
+         # small canvas: a fresh 640^2 inverse-warp CPU compile can exceed
+         # the subprocess timeout on this 1-CPU image; the full-res graph
+         # is exercised on the TPU by bench.py and the driver artifacts
+         "--num-batches", "2", "--canvas", "64",
          *TINY_OPTS, "VAL.batch_size", "2"],
         capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
     )
