@@ -26,10 +26,10 @@ def flagship(dtype=jnp.bfloat16):
     return DeformSegmentation(config=cfg, dtype=dtype)
 
 
-def time_chained(apply_fn, variables, x, f):
+def time_chained(apply_fn, variables, x, f, n1=5, n2=25):
     from benchmarks.timing import time_op
 
-    return time_op(lambda x: apply_fn(variables, x, f), x, n1=5, n2=25)
+    return time_op(lambda x: apply_fn(variables, x, f), x, n1=n1, n2=n2)
 
 
 def main():
@@ -49,7 +49,7 @@ def main():
 
         dti = time_chained(
             lambda v, x, f: module.apply(v, x, f, method=DeformSegmentation.infer)["pred_sampled"],
-            variables, x, f, iters=5,
+            variables, x, f, n1=3, n2=13,
         )
         results[f"fullres_b{batch}"] = dict(ms=dti * 1e3, fps=batch / dti)
         print(f"  full-res inverse-warp {dti*1e3:.2f} ms -> {batch/dti:.1f} fps", flush=True)
