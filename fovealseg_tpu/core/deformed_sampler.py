@@ -97,9 +97,16 @@ def deformed_unsampler(labels: jnp.ndarray, int_grid: jnp.ndarray,
     b, hs, ws, k = labels.shape
     h, w = canvas_hw
     flat_tgt = (int_grid[..., 0] * w + int_grid[..., 1]).reshape(b, hs * ws)
-    canvas = jnp.zeros((b, h * w, k), dtype=labels.dtype)
     bidx = jnp.arange(b)[:, None]
-    canvas = canvas.at[bidx, flat_tgt].set(labels.reshape(b, hs * ws, k))
-    hit = jnp.zeros((b, h * w), dtype=bool).at[bidx, flat_tgt].set(True)
+    # deterministic collision resolution: the reference's tensor index
+    # assignment is last-write-wins in flat source order, which a plain
+    # ``.at[].set`` does NOT guarantee on TPU (unspecified duplicate winner).
+    # Scatter-max the SOURCE index instead, then gather the winner's label —
+    # bit-identical to the reference's semantics, run to run.
+    src = jnp.broadcast_to(jnp.arange(hs * ws, dtype=jnp.int32)[None, :], (b, hs * ws))
+    win = jnp.full((b, h * w), -1, jnp.int32).at[bidx, flat_tgt].max(src)
+    hit = win >= 0
+    canvas = labels.reshape(b, hs * ws, k)[bidx, jnp.maximum(win, 0)]
+    canvas = jnp.where(hit[..., None], canvas, jnp.zeros_like(canvas))
     canvas = canvas.reshape(b, h, w, k)
     return fill_values_nearest(canvas, hit.reshape(b, h, w))

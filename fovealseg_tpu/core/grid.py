@@ -174,7 +174,12 @@ class GridSolver:
         return of create_grid (models/models.py:594-638)."""
         raw = self.solve(xs_hm)
         grid = self.upsample_grid(raw, task_hw)
-        grid_y = self.upsample_grid(raw, label_hw if label_hw is not None else task_hw)
+        # the reference composes raw -> task -> label (grid_y is Upsample of
+        # the ALREADY-task-sized grid, models/models.py:628-632), which only
+        # matches a direct raw -> label resize for integer scale chains —
+        # compose for exactness at fractional ratios
+        label_hw = label_hw if label_hw is not None else task_hw
+        grid_y = grid if label_hw == tuple(task_hw) else self.upsample_grid(grid, label_hw)
         return grid, grid_y
 
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from fovealseg_tpu.core.gaze import focus_distance_map
 from fovealseg_tpu.core.grid import GridSolver, inverse_grid, inverse_grid_index, pad_saliency
-from fovealseg_tpu.core.interpolate import resize_bilinear
+from fovealseg_tpu.core.interpolate import resize_bilinear, resize_nearest
 from fovealseg_tpu.core.unwarp import (
     fill_values_splat,
     jfa_rounds_from_grid,
@@ -156,9 +156,46 @@ class DeformSegmentation(nn.Module):
         xs = resize_bilinear(xs, (solver.grid_h, solver.grid_w))
         b = xs.shape[0]
         flat = xs.reshape(b, -1).astype(jnp.float32)
-        xs = jax.nn.softmax(flat, axis=-1).reshape(b, solver.grid_h, solver.grid_w, 1)
+        # NOTE: returns the PURE predicted saliency; the gt_gradient /
+        # uniform_sample overrides are applied by _apply_overrides so the
+        # pre-override map (the reference's xs_our clone, models.py:726)
+        # stays available for the norm edge loss
+        return jax.nn.softmax(flat, axis=-1).reshape(b, solver.grid_h, solver.grid_w, 1)
+
+    def _apply_overrides(self, xs, y, xs_override):
+        """The reference's saliency overrides, in its order (common to the
+        train and inference forwards): the MODEL.gt_gradient edge-sampler
+        replacement/detach (models/models.py:735-782) first, then the
+        MODEL.uniform_sample flattening (models.py:816-818)."""
+        c = self.config
+        if xs_override is not None:
+            xs = jax.lax.stop_gradient(xs_override)
+        elif c.gt_gradient and y is not None:
+            # MODEL.gt_gradient: the saliency is always detached
+            # (xs.data = xsc.data, models/models.py:773); with
+            # fix_gt_gradient it is replaced per sample by the label-edge
+            # sampler chain (ignore labels -> normalize -> downsample ->
+            # blur(gt_grad_gaussian_blur_r) -> FIND_EDGES -> upsample ->
+            # zero-bound; models/models.py:741-772)
+            if c.fix_gt_gradient and not (c.uniform_sample == "BI" and c.num_class == 2):
+                # the reference skips the replacement for the uniform-BI
+                # binary config (models/models.py:741)
+                from fovealseg_tpu.core.edges import edge_target_pil_style
+
+                yy = y.astype(jnp.float32)
+                for k in c.ignore_gt_labels:
+                    yy = jnp.where(yy == k, 0.0, yy)
+                ov = edge_target_pil_style(
+                    yy, c.saliency_hw, (xs.shape[1], xs.shape[2]),
+                    c.gt_grad_blur_r, softmax=False,
+                    zero_bound=c.deform_zero_bound,
+                )  # [B, gh, gw, 1], matching the saliency rank
+                xs = jax.lax.stop_gradient(ov.astype(xs.dtype))
+            else:
+                xs = jax.lax.stop_gradient(xs)
         if c.uniform_sample != "":
-            xs = jnp.full_like(xs, 1.0 / (solver.grid_h * solver.grid_w))
+            # uniform-downsample baseline (models.py:816-818)
+            xs = jnp.full_like(xs, 1.0 / (xs.shape[1] * xs.shape[2]))
         return xs
 
     def grids(self, xs, task_hw=None, label_hw=None):
@@ -187,45 +224,36 @@ class DeformSegmentation(nn.Module):
         (detached), the MODEL.gt_gradient "edge-based sampler" motivational
         mode (models/models.py:735-782); with ``config.gt_gradient`` set and
         ``y`` given the override is built in-graph from the label. Returns
-        dict(xs, grid, grid_y, x_sampled, pred) (+ ``pred_hr`` under
-        MODEL.loss_at_high_res).
+        dict(xs, xs_our, grid, grid_y, x_sampled, pred) (+ ``pred_hr`` under
+        MODEL.loss_at_high_res); ``xs_our`` is the pre-override predicted
+        saliency (the reference's ``xs_our = xs.clone()``, models.py:726) —
+        the norm edge loss trains the saliency nets through it even when the
+        grid is driven by an override.
         """
         c = self.config
-        xs = self.saliency(x, focus_point, train=train)
-        if xs_override is not None:
-            xs = jax.lax.stop_gradient(xs_override)
-        elif c.gt_gradient and y is not None:
-            # MODEL.gt_gradient: the saliency is always detached
-            # (xs.data = xsc.data, models/models.py:773); with
-            # fix_gt_gradient it is replaced per sample by the label-edge
-            # sampler chain (ignore labels -> normalize -> downsample ->
-            # blur(gt_grad_gaussian_blur_r) -> FIND_EDGES -> upsample ->
-            # zero-bound; models/models.py:741-772)
-            if c.fix_gt_gradient and not (c.uniform_sample == "BI" and c.num_class == 2):
-                # the reference skips the replacement for the uniform-BI
-                # binary config (models/models.py:741)
-                from fovealseg_tpu.core.edges import edge_target_pil_style
-
-                yy = y.astype(jnp.float32)
-                for k in c.ignore_gt_labels:
-                    yy = jnp.where(yy == k, 0.0, yy)
-                ov = edge_target_pil_style(
-                    yy, c.saliency_hw, (xs.shape[1], xs.shape[2]),
-                    c.gt_grad_blur_r, softmax=False,
-                    zero_bound=c.deform_zero_bound,
-                )  # [B, gh, gw, 1], matching the saliency rank
-                xs = jax.lax.stop_gradient(ov.astype(xs.dtype))
-            else:
-                xs = jax.lax.stop_gradient(xs)
+        xs_our = self.saliency(x, focus_point, train=train)
+        xs = self._apply_overrides(xs_our, y, xs_override)
         grid, grid_y = self.grids(xs)
-        # warp in compute dtype: the gather is latency-bound per row, so
-        # halving the row bytes (bf16) nearly halves the warp cost; the
-        # result feeds the bf16 encoder anyway
-        x_sampled = grid_sample(x.astype(self.dtype), grid)
+        if c.uniform_sample == "BI":
+            # uniform-BI baseline bypasses the warp entirely: plain bilinear
+            # downsample of the image (models.py:904-906)
+            x_sampled = resize_bilinear(x.astype(self.dtype), c.task_hw)
+        else:
+            # warp in compute dtype: the gather is latency-bound per row, so
+            # halving the row bytes (bf16) nearly halves the warp cost; the
+            # result feeds the bf16 encoder anyway
+            x_sampled = grid_sample(x.astype(self.dtype), grid)
         feats = self.encoder(x_sampled, train=train)
         pred = self.decoder(feats, train=train)
-        out = dict(xs=xs, grid=grid, grid_y=grid_y, x_sampled=x_sampled, pred=pred)
-        if c.loss_at_high_res:
+        out = dict(xs=xs, xs_our=xs_our, grid=grid, grid_y=grid_y,
+                   x_sampled=x_sampled, pred=pred)
+        if c.loss_at_high_res and c.uniform_sample == "BI":
+            # uniform-BI + loss_at_high_res: plain bilinear upsample of the
+            # prediction to the original size (models.py:930-931)
+            out["pred_hr"] = resize_bilinear(
+                pred.astype(jnp.float32), (x.shape[1], x.shape[2])
+            )
+        elif c.loss_at_high_res:
             # MODEL.loss_at_high_res ablation: inverse-warp the prediction
             # to (H, W)//segm_downsampling_rate for a full-res seg loss
             # (models_instance.py:686-690, 754-786). Differentiable wrt
@@ -272,13 +300,22 @@ class DeformSegmentation(nn.Module):
         c = self.config
         seg_hw = seg_hw or (x.shape[1], x.shape[2])
         xs = self.saliency(x, focus_point, train=False)
+        # gt_gradient / uniform_sample overrides apply at inference too — the
+        # reference's branch runs before the train/inference split
+        # (models/models.py:735-818, common code above the segSize check)
+        xs = self._apply_overrides(xs, y, None)
         # the grid itself is built at the inference task size so grid, pred,
         # and the inverse indices all share one resolution (the reference
         # upsamples the grid to input_size_net_infer, models/models.py
         # create_grid; a post-hoc resize of x_sampled would leave the inverse
         # indices normalized by the wrong th/tw)
         grid, grid_y = self.grids(xs, task_hw=c.task_hw_infer, label_hw=c.task_hw_infer)
-        x_sampled = grid_sample(x.astype(self.dtype), grid)
+        if c.uniform_sample == "BI":
+            # uniform-BI baseline: plain bilinear downsample of the image
+            # (models_instance.py:848-849)
+            x_sampled = resize_bilinear(x.astype(self.dtype), c.task_hw_infer)
+        else:
+            x_sampled = grid_sample(x.astype(self.dtype), grid)
         feats = self.encoder(x_sampled, train=False)
         pred = self.decoder(feats, train=False)
         task_idx, valid = inverse_grid_index(grid, seg_hw)
@@ -292,7 +329,16 @@ class DeformSegmentation(nn.Module):
         jfa_iters = c.jfa_iters or None
         jfa_rounds = None if c.jfa_iters else jfa_rounds_from_grid(grid, seg_hw)
         pred_label = None
-        if argmax_labels and c.rev_deform_interp == "nearest":
+        if c.uniform_sample in ("BI", "nearest"):
+            # uniform baselines: the "inverse warp" is a plain upsample of
+            # the prediction (models_instance.py:868-874)
+            if c.uniform_sample == "BI":
+                pred_sampled = resize_bilinear(pred.astype(jnp.float32), seg_hw)
+            else:
+                pred_sampled = resize_nearest(pred.astype(jnp.float32), seg_hw)
+            if argmax_labels:
+                pred_label = jnp.argmax(pred_sampled, axis=-1).astype(jnp.int32)
+        elif argmax_labels and c.rev_deform_interp == "nearest":
             # serving path: argmax commutes with the row-gather inverse warp,
             # so gather one int32 channel instead of C float channels — exact
             # for every metric computed from argmax(pred_sampled)
@@ -328,32 +374,49 @@ class DeformSegmentation(nn.Module):
             # intrinsic-upsampling-error probe: label down then back up,
             # branched on rev_deform_interp like the reference
             # (models_instance.py:910-933)
-            y_s = grid_sample(y.astype(jnp.float32)[..., None], grid_y, mode="nearest")
-            out["y_sampled"] = y_s[..., 0]
-            if c.rev_deform_interp == "nearest":
-                # nearest gather (grid_sample mode='nearest', :914) +
-                # nearest hole fill — exact integer round trip
-                out["y_sampled_reverse"] = unwarp_labels_fast(
-                    y_s, task_idx, valid, jfa_iters, jfa_rounds
-                )[..., 0]
-            elif c.rev_deform_interp == "BI":
-                # nearest gather, holes filled by value interpolation
-                # (fillMissingValues BI on raw class ids, :912-920 — the
-                # reference yields fractional labels at holes)
-                grid_safe = jnp.where(jnp.isnan(grid_inv), 0.0, grid_inv)
-                sampled = grid_sample(y_s, grid_safe, mode="nearest")
-                sampled = sampled * valid[..., None].astype(sampled.dtype)
-                out["y_sampled_reverse"] = fill_values_splat(sampled, valid)[..., 0]
-            else:
-                # 'tri' (the defaults.py default): one-hot score planes,
-                # bilinear inverse warp, value fill, argmax (:922-933)
-                scores = jax.nn.one_hot(
-                    y_s[..., 0].astype(jnp.int32), c.num_class, dtype=jnp.float32
+            if c.uniform_sample == "BI":
+                # uniform-BI: bilinear downsample + .long() truncation, then
+                # a plain nearest upsample back (models_instance.py:862-877)
+                y_s = jnp.floor(
+                    resize_bilinear(y.astype(jnp.float32)[..., None], c.task_hw_infer)
                 )
-                rev = unwarp_prediction(scores, grid_inv, valid, interp=c.rev_deform_interp)
-                out["y_sampled_reverse"] = jnp.argmax(rev, axis=-1).astype(jnp.float32)
+                out["y_sampled"] = y_s[..., 0]
+                out["y_sampled_reverse"] = resize_nearest(y_s, seg_hw)[..., 0]
+            else:
+                y_s = grid_sample(y.astype(jnp.float32)[..., None], grid_y, mode="nearest")
+                out["y_sampled"] = y_s[..., 0]
+                if c.rev_deform_interp == "nearest":
+                    # nearest gather (grid_sample mode='nearest', :914) +
+                    # nearest hole fill — exact integer round trip
+                    out["y_sampled_reverse"] = unwarp_labels_fast(
+                        y_s, task_idx, valid, jfa_iters, jfa_rounds
+                    )[..., 0]
+                elif c.rev_deform_interp == "BI":
+                    # nearest gather, holes filled by value interpolation
+                    # (fillMissingValues BI on raw class ids, :912-920 — the
+                    # reference yields fractional labels at holes)
+                    grid_safe = jnp.where(jnp.isnan(grid_inv), 0.0, grid_inv)
+                    sampled = grid_sample(y_s, grid_safe, mode="nearest")
+                    sampled = sampled * valid[..., None].astype(sampled.dtype)
+                    out["y_sampled_reverse"] = fill_values_splat(sampled, valid)[..., 0]
+                else:
+                    # 'tri' (the defaults.py default): one-hot score planes,
+                    # bilinear inverse warp, value fill, argmax (:922-933)
+                    scores = jax.nn.one_hot(
+                        y_s[..., 0].astype(jnp.int32), c.num_class, dtype=jnp.float32
+                    )
+                    rev = unwarp_prediction(scores, grid_inv, valid, interp=c.rev_deform_interp)
+                    out["y_sampled_reverse"] = jnp.argmax(rev, axis=-1).astype(jnp.float32)
         if x_sampled_reverse:
-            out["x_sampled_reverse"] = unwarp_prediction(
-                x_sampled.astype(jnp.float32), grid_inv, valid, interp=c.rev_deform_interp
-            )
+            if c.uniform_sample == "BI":
+                # plain bilinear upsample of the uniform downsample
+                # (models_instance.py:878-880)
+                out["x_sampled_reverse"] = resize_bilinear(
+                    x_sampled.astype(jnp.float32), seg_hw
+                )
+            else:
+                out["x_sampled_reverse"] = unwarp_prediction(
+                    x_sampled.astype(jnp.float32), grid_inv, valid,
+                    interp=c.rev_deform_interp,
+                )
         return out

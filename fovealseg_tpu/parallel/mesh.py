@@ -42,11 +42,15 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return out
 
 
-_REPLICATED_KEYS = {"edge_scale"}  # per-step scalars, not batch-sharded
+_REPLICATED_KEYS = {"edge_scale", "edge_only"}  # per-step scalars, not batch-sharded
 
 
 def _batch_specs(batch: dict, axis: str) -> dict:
-    return {k: (P() if k in _REPLICATED_KEYS else P(axis)) for k in batch}
+    # rank-0 leaves (per-step traced knobs) are replicated regardless of name
+    return {
+        k: (P() if k in _REPLICATED_KEYS or getattr(v, "ndim", 1) == 0 else P(axis))
+        for k, v in batch.items()
+    }
 
 
 def make_parallel_train_step(module, tx, lcfg, mesh: Mesh, axis: str = "data",

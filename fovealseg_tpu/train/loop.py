@@ -87,6 +87,13 @@ def train_one_epoch(
         cur_iter = i + (epoch - 1) * cfg.TRAIN.epoch_iters
         batch = dict(batch)
         batch["edge_scale"] = jnp.float32(edge_loss_scale_at(cfg, cur_iter, epoch))
+        # staged edge-only window: the reference trains on the edge loss
+        # alone while fix_seg_start<=epoch<=fix_seg_end under
+        # opt_deform_LabelEdge (models/models.py:899-901)
+        batch["edge_only"] = jnp.bool_(
+            cfg.TRAIN.opt_deform_LabelEdge
+            and cfg.TRAIN.fix_seg_start_epoch <= epoch <= cfg.TRAIN.fix_seg_end_epoch
+        )
         state, mets = train_step(state, batch, sub)
         pending.append(mets)
         if i % cfg.TRAIN.disp_iter == 0:

@@ -135,6 +135,15 @@ def edge_loss_scale_at(cfg, cur_iter: int, epoch: int) -> float:
     if cfg.TRAIN.fixed_edge_loss_scale > 0.0:
         scale = (1.0 - float(cur_iter) / max(cfg.TRAIN.max_iters, 1)) ** cfg.TRAIN.edge_loss_pow
         return max(cfg.TRAIN.fixed_edge_loss_scale * scale, cfg.TRAIN.edge_loss_scale_min)
+    if (
+        cfg.TRAIN.stage_adjust_edge_loss != 1.0
+        and epoch > cfg.TRAIN.adjust_edge_loss_end_epoch
+    ):
+        # the reference's in-window mutation of cfg.TRAIN.edge_loss_scale is
+        # sticky: epochs after the window keep the stage value unless the
+        # fixed_edge_loss_scale poly branch overwrites it each iteration
+        # (train_deform_semantic.py:86-89)
+        return cfg.TRAIN.stage_adjust_edge_loss
     return cfg.TRAIN.edge_loss_scale
 
 

@@ -21,7 +21,7 @@ from flax.core import FrozenDict
 
 from fovealseg_tpu.core import losses as L
 from fovealseg_tpu.core import metrics as M
-from fovealseg_tpu.core.interpolate import resize_area
+from fovealseg_tpu.core.interpolate import resize_area, resize_bilinear, resize_nearest
 from fovealseg_tpu.core.warp import grid_sample
 
 
@@ -62,6 +62,8 @@ class LossConfig:
     edge_zero_bound: int = 0  # TRAIN.deform_zero_bound(_factor)
     edge_blur_radius: float = 1.0  # MODEL.gt_grad_gaussian_blur_r
     saliency_hw: tuple = (80, 80)
+    uniform_bi: bool = False  # MODEL.uniform_sample == 'BI': label downsample
+    # bypasses the warp (plain bilinear + .long(), models/models.py:875-878)
 
     @classmethod
     def from_cfg(cls, cfg) -> "LossConfig":
@@ -77,6 +79,7 @@ class LossConfig:
             edge_zero_bound=(cfg.TRAIN.deform_zero_bound_factor if cfg.TRAIN.deform_zero_bound else 0),
             edge_blur_radius=float(cfg.MODEL.gt_grad_gaussian_blur_r),
             saliency_hw=tuple(cfg.TRAIN.saliency_input_size),
+            uniform_bi=cfg.MODEL.uniform_sample == "BI",
         )
 
 
@@ -113,11 +116,22 @@ def compute_losses(
     if edge_scale is None:
         edge_scale = batch.get("edge_scale")
     scale = lcfg.edge_loss_scale if edge_scale is None else edge_scale
-    e_loss = L.edge_loss(xs, xs_target, scale, lcfg.edge_norm)
+    # the NORM edge loss trains on the PRE-override predicted saliency (the
+    # reference's xs_our clone, models/models.py:726, 886-891) so the
+    # saliency nets keep learning under gt_gradient/uniform overrides; the
+    # non-norm branch uses the post-override xs (models.py:896-897)
+    xs_edge = out.get("xs_our", xs) if lcfg.edge_norm else xs
+    e_loss = L.edge_loss(xs_edge, xs_target, scale, lcfg.edge_norm)
 
-    # label warp: bilinear grid_sample then .long() truncation
-    # (models/models.py:880, 966-971)
-    y_sampled = grid_sample(y[..., None], out["grid_y"])[..., 0]
+    if lcfg.uniform_bi:
+        # uniform-BI baseline: plain bilinear label downsample + .long()
+        # truncation instead of the warp (models/models.py:875-878)
+        lh, lw = out["grid_y"].shape[1], out["grid_y"].shape[2]
+        y_sampled = resize_bilinear(y[..., None], (lh, lw))[..., 0]
+    else:
+        # label warp: bilinear grid_sample then .long() truncation
+        # (models/models.py:880, 966-971)
+        y_sampled = grid_sample(y[..., None], out["grid_y"])[..., 0]
     label = y_sampled.astype(jnp.int32)
     gt = label * cls[:, None, None] + (1 - label) * bg
 
@@ -129,7 +143,9 @@ def compute_losses(
         pred_hr = out["pred_hr"].astype(jnp.float32)
         y_hr = y
         if y.shape[1:3] != pred_hr.shape[1:3]:
-            y_hr = jax.image.resize(y, (y.shape[0],) + pred_hr.shape[1:3], "nearest")
+            # torch-parity nearest indexing (floor(i*in/out)) — the repo's
+            # resize_nearest, not jax.image.resize's half-pixel-center nearest
+            y_hr = resize_nearest(y[..., None], pred_hr.shape[1:3])[..., 0]
         label_hr = y_hr.astype(jnp.int32)
         gt_loss_pred, gt_loss_gt = pred_hr, label_hr * cls[:, None, None] + (1 - label_hr) * bg
     else:
@@ -148,12 +164,27 @@ def compute_losses(
         ent = -jnp.sum(p_flat * jnp.log(p_flat + 1e-12), axis=-1)
         loss = loss - lcfg.entropy_reg_weight * jnp.mean(ent)
 
+    acc = M.pixel_acc(gt_loss_pred, gt_loss_gt, bg)
+    edge_only = batch.get("edge_only")
+    if edge_only is not None:
+        # TRAIN.opt_deform_LabelEdge fix_seg window: the reference returns
+        # (edge_loss, edge_acc, edge_loss) before the segmentation forward
+        # (models/models.py:899-901) — the whole step trains on the edge
+        # loss only, and the logged acc is the (degenerate) edge_acc:
+        # pixel_acc of the channel-argmax (always 0, single channel) vs the
+        # int-truncated target
+        eo = jnp.asarray(edge_only, bool)
+        loss = jnp.where(eo, e_loss, loss)
+        tgt_acc = L.minmax_normalize(xs_target) if lcfg.edge_norm else xs_target
+        edge_acc = jnp.mean((jnp.floor(tgt_acc) == 0.0).astype(jnp.float32))
+        acc = jnp.where(eo, edge_acc, acc)
+
     mets = {
         "loss": loss,
         "dice_loss": dice,
         "focal_loss": focal,
         "edge_loss": e_loss,
-        "acc": M.pixel_acc(gt_loss_pred, gt_loss_gt, bg),
+        "acc": acc,
         "acc_bin_fg": M.fg_bin_pixel_acc(gt_loss_pred, gt_loss_gt, bg),
         "acc_cls_fbg": M.fbg_cls_pixel_acc(gt_loss_pred, gt_loss_gt, bg),
         "acc_bin_fbg": M.fbg_bin_pixel_acc(gt_loss_pred, gt_loss_gt, bg),

@@ -1,5 +1,7 @@
 """End-to-end train-step smoke: loss decreases on a tiny overfit problem."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -190,9 +192,11 @@ def test_fix_bn_freezes_batch_stats(tiny_cfg, rng):
 
 
 def test_gt_gradient_label_edge_sampler(tiny_cfg, rng):
-    """MODEL.gt_gradient + fix_gt_gradient: the saliency is replaced by the
-    label-edge map, detached — no gradient reaches the saliency branch
-    (models/models.py:735-773)."""
+    """MODEL.gt_gradient + fix_gt_gradient: the GRID is driven by the
+    label-edge map, detached — the seg loss reaches no saliency param — but
+    the norm edge loss still trains the saliency nets through the
+    pre-override prediction (the reference's xs_our clone,
+    models/models.py:726, 735-773, 886-891)."""
     cfg = tiny_cfg.clone()
     cfg.MODEL.gt_gradient = True
     cfg.MODEL.fix_gt_gradient = True
@@ -206,25 +210,35 @@ def test_gt_gradient_label_edge_sampler(tiny_cfg, rng):
     step = jax.jit(make_train_step(module, tx, lcfg))
     new_state, mets = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(mets["loss"]))
-    # the saliency branch (localization + compress) gets exactly zero
-    # gradient (the torch-Adam-style additive weight decay still moves the
-    # params, so compare grads, not params)
     from fovealseg_tpu.train.step import compute_losses
 
-    def loss_fn(params):
-        out, _ = module.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            batch["img_data"], batch["focus_point"], train=True,
-            y=batch["seg_label"], rngs={"dropout": jax.random.PRNGKey(1)},
-            mutable=["batch_stats"],
-        )
-        return compute_losses(out, batch, lcfg)[0]
+    def make_loss_fn(lc):
+        def loss_fn(params):
+            out, _ = module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["img_data"], batch["focus_point"], train=True,
+                y=batch["seg_label"], rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            return compute_losses(out, batch, lc)[0]
 
-    g = jax.jit(jax.grad(loss_fn))(state.params)
+        return loss_fn
+
+    # seg loss only (joint edge loss off): the saliency branch
+    # (localization + compress) gets exactly zero gradient — the grid is
+    # detached (the torch-Adam-style additive weight decay still moves the
+    # params, so compare grads, not params)
+    lc_seg = dataclasses.replace(lcfg, deform_joint_loss=False)
+    g = jax.jit(jax.grad(make_loss_fn(lc_seg)))(state.params)
     for sub in ("localization", "net_compress"):
         assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g[sub])) == 0.0
     # ... while the segmentation branch does learn
     assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g["encoder"])) > 0.0
+    # with the joint (norm) edge loss on, gradients DO reach the saliency
+    # nets through xs_our even though the grid saw the override
+    g2 = jax.jit(jax.grad(make_loss_fn(lcfg)))(state.params)
+    for sub in ("localization", "net_compress"):
+        assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g2[sub])) > 0.0
     # the xs the grid saw is the label-edge map, not the net's prediction
     out_gt = module.apply(
         {"params": state.params, "batch_stats": state.batch_stats},

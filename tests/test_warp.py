@@ -63,3 +63,20 @@ def test_packed_matches_taps_exactly(rng):
     np.testing.assert_array_equal(nan_a, nan_b)
     np.testing.assert_array_equal(a[~nan_a], b[~nan_b])
     assert nan_a[1, 2, 3].all()
+
+
+def test_nearest_boundary_rounding_cuda_convention():
+    """At a clamped grid coord of exactly -1.0 the unnormalized index is
+    -0.5; CUDA torch (::round, half away from zero) maps it to -1 ->
+    out-of-bounds -> zero padding. The reference's published runs are CUDA,
+    so that convention is pinned here (CPU torch would round-half-even to 0
+    and return the edge pixel instead)."""
+    img = np.full((1, 6, 6, 1), 7.0, dtype=np.float32)
+    grid = np.zeros((1, 1, 3, 2), dtype=np.float32)
+    grid[0, 0, 0] = [-1.0, 0.0]   # ix = -0.5 exactly -> OOB under CUDA rounding
+    grid[0, 0, 1] = [-0.99, 0.0]  # ix > -0.5 -> in bounds (edge pixel)
+    grid[0, 0, 2] = [1.0, 0.0]    # ix = W - 0.5 -> rounds to W -> OOB
+    out = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid), mode="nearest"))
+    assert out[0, 0, 0, 0] == 0.0
+    assert out[0, 0, 1, 0] == 7.0
+    assert out[0, 0, 2, 0] == 0.0
