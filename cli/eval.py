@@ -303,6 +303,7 @@ def main(argv=None):
         import csv
 
         count = len(trimaps[widths[0]])
+        os.makedirs(cfg.DIR, exist_ok=True)
         with open(os.path.join(cfg.DIR, f"trimap_last_count_{count}.csv"),
                   "w", newline="") as fh:
             cw = csv.writer(fh)

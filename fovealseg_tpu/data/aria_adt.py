@@ -61,6 +61,11 @@ def make_cache_summary(cache_dir: str, out_jsonl: str | None = None) -> list[dic
     for name in sorted(os.listdir(cache_dir)):
         if not (name.endswith(".png") or name.endswith(".npy")):
             continue
+        if name.endswith(".Y.npy") or name.endswith(".Y.pt"):
+            # mask sidecars of a frame (read via fpath.replace('.png',
+            # '.Y.npy') in DatasetAriaADT) — not samples themselves, and
+            # their '.Y' tail breaks the [sp]HxW int parse
+            continue
         info = fname2info(name)
         if not info:
             continue

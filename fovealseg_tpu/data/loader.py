@@ -49,22 +49,39 @@ def prefetch(iterable: Iterable, size: int = 2, transform: Callable | None = Non
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that aborts if the consumer abandoned the generator —
+        # otherwise a `break` in the consumer leaves this thread blocked on
+        # q.put forever, pinning size+1 prepared batches for the process life
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(transform(item) if transform else item)
+                if not _put(transform(item) if transform else item):
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()  # unblock + terminate the worker on early exit

@@ -31,7 +31,6 @@ import math
 import jax
 import jax.numpy as jnp
 
-from fovealseg_tpu.core.unwarp import nearest_seed_jfa
 
 _INT_INF = 2**30  # > any squared pixel distance at <= 1024^2
 
@@ -189,14 +188,12 @@ def nearest_class_pallas(valid: jnp.ndarray, payload: jnp.ndarray,
 
 
 def nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:
-    """Dispatch: Pallas kernel on TPU, lax JFA elsewhere."""
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
-    if on_tpu:
-        try:
-            return nearest_seed_pallas(valid, num_iters)
-        except Exception:
-            pass
-    return nearest_seed_jfa(valid, num_iters)
+    """Dispatch: Pallas kernel on TPU, lax JFA elsewhere.
+
+    Delegates to the single dispatcher in ``core.unwarp`` so the
+    ``FOVEALSEG_PALLAS_JFA=0`` opt-out applies everywhere and kernel
+    failures surface instead of silently falling back to the ~20x-slower
+    lax chain (import is call-time to avoid a module cycle)."""
+    from fovealseg_tpu.core.unwarp import _nearest_seed
+
+    return _nearest_seed(valid, num_iters)

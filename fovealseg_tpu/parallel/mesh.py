@@ -27,6 +27,11 @@ from fovealseg_tpu.train.step import TrainState
 def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     n = num_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} device(s) "
+            "are visible — a silent truncation would misattribute throughput"
+        )
     return Mesh(np.array(devices[:n]), (axis,))
 
 

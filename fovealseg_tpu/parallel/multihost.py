@@ -134,10 +134,15 @@ def global_batch_from_host_local(local_batch: dict, mesh,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from fovealseg_tpu.parallel.mesh import _REPLICATED_KEYS
+
     out = {}
     for k, v in local_batch.items():
         v = np.asarray(v)
-        spec = P(axis, *([None] * (v.ndim - 1))) if v.ndim else P()
+        # one replication policy with mesh.shard_batch/_batch_specs:
+        # per-step knobs (named or rank-0) replicate, data leaves shard
+        rep = k in _REPLICATED_KEYS or v.ndim == 0
+        spec = P() if rep else P(axis, *([None] * (v.ndim - 1)))
         sharding = NamedSharding(mesh, spec)
         if jax.process_count() == 1:
             out[k] = jax.device_put(v, sharding)

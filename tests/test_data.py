@@ -239,6 +239,30 @@ def test_cached_dataset_and_prefetch():
         list(prefetch(boom()))
 
 
+def test_prefetch_abandoned_consumer_stops_worker():
+    """A consumer that breaks early must not leave the worker thread blocked
+    on q.put forever (pinning prepared batches for the process life)."""
+    import threading
+    import time
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch(gen(), size=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons (same path as `break`)
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+    assert len(produced) < 1000  # worker stopped early, didn't drain the source
+
+
 def _write_odgt(root, rng, n=4, square=False, num_seg_vals=5):
     from PIL import Image
 

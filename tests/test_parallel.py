@@ -149,3 +149,13 @@ def test_gspmd_2d_mesh_matches_single_device(tiny_cfg, rng):
     lb = jax.tree.leaves(s_ref.params)
     for a, b in zip(la[:5], lb[:5]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_make_mesh_oversubscription_raises():
+    """Requesting more devices than visible must fail loudly, not silently
+    truncate (throughput would be misattributed to a bigger mesh)."""
+    import jax
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_mesh(len(jax.devices()) + 1)

@@ -66,6 +66,8 @@ def test_aria_fname_roundtrip(tmp_path):
     from PIL import Image
 
     Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(tmp_path / name)
+    # a mask sidecar must neither crash the int parse nor count as a sample
+    np.save(tmp_path / (info2fname(info) + ".Y.npy"), np.zeros((4, 4), np.uint8))
     rows = make_cache_summary(str(tmp_path))
     assert len(rows) == 1 and rows[0]["cid"] == [7]
 
