@@ -69,6 +69,17 @@ def audit_dead_keys(cfg, logger=None) -> list[str]:
                     "(never read by its runtime); ignoring it reproduces "
                     "reference behavior", group, k,
                 )
+    if cfg.VAL.F_Xlr_low_scale not in (0, 1):
+        hits.append("VAL.F_Xlr_low_scale")
+        logger.warning(
+            "VAL.F_Xlr_low_scale=%s: this key is DEAD in the reference "
+            "(declared in defaults.py:222, never read by its runtime) but "
+            "LIVE here as a beyond-reference efficient-inference feature — "
+            "the saliency input is downscaled %sx at inference, so eval "
+            "numbers will differ from a reference run with the same config; "
+            "set 0 for reference behavior",
+            cfg.VAL.F_Xlr_low_scale, cfg.VAL.F_Xlr_low_scale,
+        )
     if cfg.TRAIN.opt_deform_LabelEdge_accrate != 1.0:
         hits.append("TRAIN.opt_deform_LabelEdge_accrate")
         logger.warning(

@@ -73,5 +73,28 @@ class BucketedDeform:
         return self._modules[bucket]
 
     def apply(self, variables, x, focus_point, **kwargs):
-        module = self.module_for((x.shape[1], x.shape[2]))
+        """Pad the input up to its bucket canvas and run that bucket's module.
+
+        Without the pad, every distinct raw (H, W) would trace a fresh
+        executable and bucketing would only bound module count, not compiles
+        — the whole point is one executable per bucket. Zero padding matches
+        the reference cookers' canvas pad (b2:310-315); the normalized gaze
+        point is rescaled onto the padded canvas, and any ``y=`` label is
+        zero-padded (background) the same way. Outputs are in padded-canvas
+        coordinates; slice ``[:, :H, :W]`` to recover the raw frame.
+        """
+        import jax.numpy as jnp
+
+        h, w = int(x.shape[1]), int(x.shape[2])
+        bh, bw = round_bucket((h, w), self.bucket_multiple)
+        module = self.module_for((h, w))
+        if (bh, bw) != (h, w):
+            x = jnp.pad(x, ((0, 0), (0, bh - h), (0, bw - w), (0, 0)))
+            focus_point = focus_point * jnp.asarray(
+                [h / bh, w / bw], dtype=focus_point.dtype
+            )
+            y = kwargs.get("y")
+            if y is not None:
+                kwargs = dict(kwargs)
+                kwargs["y"] = jnp.pad(y, ((0, 0), (0, bh - h), (0, bw - w)))
         return module.apply(variables, x, focus_point, **kwargs)

@@ -118,6 +118,31 @@ class DeformConfig:
         return GridSolver(grid_h, grid_w, pad_x, int(ap * pad_x), float(self.gaussian_radius))
 
 
+def _pretrain_pool_operators(task_hw, saliency_hw):
+    """Stacked pool->upsample operators for the Recasens pretrain
+    augmentation (models/models.py:911-917): for each s in
+    [min_sal//3, min_sal], ``A_s = U_s @ P_s`` where P_s is the
+    AdaptiveAvgPool2d(T->s) bin matrix and U_s the bilinear (s->T)
+    align_corners=False resize. Returns (s_min, [S, th, th], [S, tw, tw])
+    numpy stacks — indexing the stack with a TRACED s keeps the graph
+    fixed-shape (the torch original's dynamic pool size would force one
+    recompile per drawn s on TPU)."""
+    import numpy as np
+
+    from fovealseg_tpu.core.interpolate import (
+        _area_resize_matrix,
+        _linear_resize_matrix,
+    )
+
+    s_min = max(min(saliency_hw) // 3, 1)
+    s_max = min(saliency_hw)
+    rows, cols = [], []
+    for s in range(s_min, s_max + 1):
+        rows.append(_linear_resize_matrix(s, task_hw[0]) @ _area_resize_matrix(task_hw[0], s))
+        cols.append(_linear_resize_matrix(s, task_hw[1]) @ _area_resize_matrix(task_hw[1], s))
+    return s_min, np.stack(rows), np.stack(cols)
+
+
 class DeformSegmentation(nn.Module):
     """Foveation + segmentation forward. Sub-nets built via models.builder."""
 
@@ -193,6 +218,14 @@ class DeformSegmentation(nn.Module):
                 xs = jax.lax.stop_gradient(ov.astype(xs.dtype))
             else:
                 xs = jax.lax.stop_gradient(xs)
+                if c.deform_zero_bound:
+                    # the zero-bound border mask applies to the detached
+                    # saliency too (models/models.py:766-771 masks xsc
+                    # unconditionally inside the gt branch)
+                    bound = c.deform_zero_bound
+                    mask = jnp.zeros_like(xs)
+                    mask = mask.at[:, bound:-bound, bound:-bound, :].set(1.0)
+                    xs = xs * mask
         if c.uniform_sample != "":
             # uniform-downsample baseline (models.py:816-818)
             xs = jnp.full_like(xs, 1.0 / (xs.shape[1] * xs.shape[2]))
@@ -216,10 +249,16 @@ class DeformSegmentation(nn.Module):
             )
         return solver.create_grid(xs_hm, task_hw, label_hw)
 
-    def __call__(self, x, focus_point, train: bool = False, xs_override=None, y=None):
+    def __call__(self, x, focus_point, train: bool = False, xs_override=None, y=None,
+                 pool_s=None):
         """Training/warped-domain forward.
 
         x: [B, H, W, 3] in [0, 1]; focus_point: [B, 2] (row, col) in [0, 1].
+        ``pool_s`` (traced int32 scalar, or None) enables the Recasens
+        pretrain augmentation: x_sampled is average-pooled to (s, s) and
+        bilinearly upsampled back (models/models.py:911-917, active when
+        TRAIN.deform_pretrain_bol is False during the pretrain window);
+        s < 0 disables it at runtime without a recompile.
         ``xs_override`` replaces the predicted saliency with a fixed map
         (detached), the MODEL.gt_gradient "edge-based sampler" motivational
         mode (models/models.py:735-782); with ``config.gt_gradient`` set and
@@ -243,6 +282,22 @@ class DeformSegmentation(nn.Module):
             # halving the row bytes (bf16) nearly halves the warp cost; the
             # result feeds the bf16 encoder anyway
             x_sampled = grid_sample(x.astype(self.dtype), grid)
+        if train and pool_s is not None:
+            # Recasens pretrain trick: pool to a random (s, s) and upsample
+            # back (models/models.py:911-917) — fixed-shape via a stacked
+            # per-s operator indexed by the traced s
+            s_min, ar_stack, ac_stack = _pretrain_pool_operators(
+                (x_sampled.shape[1], x_sampled.shape[2]), c.saliency_hw
+            )
+            idx = jnp.clip(jnp.asarray(pool_s, jnp.int32) - s_min, 0, len(ar_stack) - 1)
+            ar = jnp.take(jnp.asarray(ar_stack), idx, axis=0)
+            ac = jnp.take(jnp.asarray(ac_stack), idx, axis=0)
+            xa = jnp.einsum("ij,bjwc->biwc", ar, x_sampled.astype(jnp.float32))
+            xa = jnp.einsum("ij,bhjc->bhic", ac, xa)
+            x_sampled = jnp.where(
+                jnp.asarray(pool_s, jnp.int32) >= 0,
+                xa.astype(x_sampled.dtype), x_sampled,
+            )
         feats = self.encoder(x_sampled, train=train)
         pred = self.decoder(feats, train=train)
         out = dict(xs=xs, xs_our=xs_our, grid=grid, grid_y=grid_y,

@@ -89,6 +89,17 @@ class _PPMPool(nn.Module):
         return resize_bilinear(nn.relu(p), out_hw)
 
 
+def _ppm_head(self, ppm_cat, train):
+    """conv3x3-BN-ReLU-Dropout(0.1)-1x1 classifier head shared by PPM and
+    PPMDeepsup (model_utils.py:339-346 == 382-389; one definition keeps the
+    'conv_last.*' checkpoint-import names in sync)."""
+    x = conv2d(512, 3, 1, 1, use_bias=False, name="conv_last.0", dtype=self.dtype)(ppm_cat)
+    x = batch_norm("conv_last.1", self.axis_name, train, self.dtype)(x)
+    x = nn.relu(x)
+    x = nn.Dropout(0.1, deterministic=not train, name="conv_last.3")(x)
+    return conv2d(self.num_class, 1, 1, 0, name="conv_last.4", dtype=self.dtype)(x)
+
+
 class PPM(nn.Module):
     """model_utils.py:312-358."""
 
@@ -99,12 +110,7 @@ class PPM(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
-    def _head(self, ppm_cat, train):
-        x = conv2d(512, 3, 1, 1, use_bias=False, name="conv_last.0", dtype=self.dtype)(ppm_cat)
-        x = batch_norm("conv_last.1", self.axis_name, train, self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.Dropout(0.1, deterministic=not train, name="conv_last.3")(x)
-        return conv2d(self.num_class, 1, 1, 0, name="conv_last.4", dtype=self.dtype)(x)
+    _head = _ppm_head
 
     @nn.compact
     def __call__(self, conv_out, seg_hw=None, train: bool = False):
@@ -129,6 +135,8 @@ class PPMDeepsup(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
+    _head = _ppm_head
+
     @nn.compact
     def __call__(self, conv_out, seg_hw=None, train: bool = False):
         conv5 = conv_out[-1]
@@ -136,12 +144,7 @@ class PPMDeepsup(nn.Module):
         outs = [conv5]
         for i, s in enumerate(self.pool_scales):
             outs.append(_PPMPool(s, self.axis_name, self.dtype, name=f"ppm.{i}")(conv5, hw, train))
-        cat = jnp.concatenate(outs, -1)
-        x = conv2d(512, 3, 1, 1, use_bias=False, name="conv_last.0", dtype=self.dtype)(cat)
-        x = batch_norm("conv_last.1", self.axis_name, train, self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.Dropout(0.1, deterministic=not train, name="conv_last.3")(x)
-        x = conv2d(self.num_class, 1, 1, 0, name="conv_last.4", dtype=self.dtype)(x)
+        x = self._head(jnp.concatenate(outs, -1), train)
         if self.use_softmax:
             return _softmax_resized(x, seg_hw)
         conv4 = conv_out[-2]

@@ -103,13 +103,15 @@ double metric_one(const double* u, const double* v, int d, int metric,
       for (int i = 0; i < d; i++) c += (u[i] != v[i]);
       return (double)c / d;
     }
-    case 10: {  // jaccard over nonzero patterns
+    case 10: {  // jaccard over nonzero patterns (scipy booleanizes first:
+                // disagreement means the BOOLEAN patterns differ, so two
+                // different nonzero values do NOT count)
       int neq = 0, nnz = 0;
       for (int i = 0; i < d; i++) {
         bool a = u[i] != 0.0, b = v[i] != 0.0;
         if (a || b) {
           nnz++;
-          if (u[i] != v[i]) neq++;
+          if (a != b) neq++;
         }
       }
       return nnz == 0 ? 0.0 : (double)neq / nnz;

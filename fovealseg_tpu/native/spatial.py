@@ -21,11 +21,24 @@ _LIB_PATH = os.path.join(_HERE, "libfovealspatial.so")
 _lib = None
 
 
+def _stale() -> bool:
+    """True when any C++ source is newer than the built library — otherwise
+    the committed .so silently shadows source edits."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_HERE):
+        if name.endswith((".cpp", ".h", ".hpp")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_HERE, name)) > so_mtime:
+                return True
+    return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if _stale():
         subprocess.run(["make", "-C", _HERE], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.delaunay_triangulate.restype = ctypes.c_int

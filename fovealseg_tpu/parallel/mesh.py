@@ -47,7 +47,7 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return out
 
 
-_REPLICATED_KEYS = {"edge_scale", "edge_only"}  # per-step scalars, not batch-sharded
+_REPLICATED_KEYS = {"edge_scale", "edge_only", "pool_s"}  # per-step scalars, not batch-sharded
 
 
 def _batch_specs(batch: dict, axis: str) -> dict:

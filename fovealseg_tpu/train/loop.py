@@ -26,6 +26,19 @@ import numpy as np
 from fovealseg_tpu.train import checkpoint as ckpt
 from fovealseg_tpu.train.optim import poly_running_lrs
 
+_POOL_RNGS: dict = {}
+
+
+def _py_rng(cfg):
+    """Per-seed python Random for the pretrain pool-size draw (the reference
+    uses the global ``random`` module, models/models.py:911-913)."""
+    import random
+
+    seed = int(cfg.TRAIN.seed)
+    if seed not in _POOL_RNGS:
+        _POOL_RNGS[seed] = random.Random(seed)
+    return _POOL_RNGS[seed]
+
 log = logging.getLogger("fovealseg")
 
 
@@ -94,6 +107,19 @@ def train_one_epoch(
             cfg.TRAIN.opt_deform_LabelEdge
             and cfg.TRAIN.fix_seg_start_epoch <= epoch <= cfg.TRAIN.fix_seg_end_epoch
         )
+        # Recasens pretrain augmentation: when deform_pretrain_bol is False
+        # and the epoch is in the pretrain/smooth window, pool x_sampled to a
+        # random (s, s) and upsample back (models/models.py:832-840, 911-917)
+        pretrain_off = cfg.TRAIN.deform_pretrain_bol or (
+            epoch >= cfg.TRAIN.deform_pretrain
+            and (epoch < cfg.TRAIN.smooth_deform_2nd_start
+                 or epoch > cfg.TRAIN.smooth_deform_2nd_end)
+        )
+        if pretrain_off:
+            batch["pool_s"] = jnp.int32(-1)
+        else:
+            lo = min(cfg.TRAIN.saliency_input_size)
+            batch["pool_s"] = jnp.int32(_py_rng(cfg).randint(lo // 3, lo))
         state, mets = train_step(state, batch, sub)
         pending.append(mets)
         if i % cfg.TRAIN.disp_iter == 0:

@@ -214,6 +214,7 @@ def make_train_step(
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         y = batch["seg_label"] if module.config.gt_gradient else None
+        pool_s = batch.get("pool_s")  # Recasens pretrain augmentation size
         if fix_bn:
             out = module.apply(
                 variables, batch["img_data"], batch["focus_point"],
@@ -227,6 +228,7 @@ def make_train_step(
                 batch["focus_point"],
                 train=True,
                 y=y,
+                pool_s=pool_s,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )

@@ -108,3 +108,15 @@ def test_squareform_force_validation():
         ndist.squareform(np.array([1.0, 2.0, 3.0]), force="tovector")
     with pytest.raises(ValueError):
         ndist.squareform(np.zeros((3, 3)), force="tomatrix")
+
+
+def test_jaccard_nonbinary_booleanizes(rng):
+    """scipy jaccard booleanizes (u!=0, v!=0) BEFORE comparing — two
+    different nonzero values are not a disagreement."""
+    u = np.array([[0.5, 0.0, 0.3], [0.2, 0.0, 0.3]])
+    np.testing.assert_allclose(ndist.pdist(u, "jaccard"), sdist.pdist(u, "jaccard"))
+    X = rng.normal(size=(9, 6)) * (rng.random(size=(9, 6)) > 0.4)
+    np.testing.assert_allclose(ndist.pdist(X, "jaccard"), sdist.pdist(X, "jaccard"))
+    np.testing.assert_allclose(
+        ndist.cdist(X[:4], X[4:], "jaccard"), sdist.cdist(X[:4], X[4:], "jaccard")
+    )
