@@ -26,20 +26,11 @@ def _flagship_setup(batch: int):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fovealseg")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # importing __graft_entry__ also installs the persistent compile cache;
+    # its _flagship is the single source of the flagship config literal
+    from __graft_entry__ import _flagship
 
-    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
-
-    cfg = DeformConfig(
-        task_hw=(80, 80),
-        task_hw_infer=(80, 80),
-        saliency_hw=(80, 80),
-        gaussian_radius=45,
-        num_class=51,
-        arch_encoder="hrnetv2_nodownsp",
-    )
-    module = DeformSegmentation(config=cfg, dtype=jnp.bfloat16)
+    module = _flagship(dtype=jnp.bfloat16)
     x = jnp.zeros((batch, 640, 640, 3), jnp.float32)
     f = jnp.full((batch, 2), 0.5, jnp.float32)
     shapes = jax.eval_shape(module.init, {"params": jax.random.PRNGKey(0)}, x, f)
@@ -47,7 +38,7 @@ def _flagship_setup(batch: int):
     return module, variables, x, f
 
 
-def measure_jax_fps(batch: int = 8) -> float:
+def measure_jax_fps(batch: int = 8, setup=None) -> float:
     # NOTE: this image's TPU tunnel does not synchronize block_until_ready
     # and adds a ~30 ms fixed cost to every host-visible call, so executions
     # are chained inside a jitted fori_loop (scalar-carry serialized) and the
@@ -56,7 +47,7 @@ def measure_jax_fps(batch: int = 8) -> float:
     # total by N, inflating every number).
     from benchmarks.timing import time_op
 
-    module, variables, x, f = _flagship_setup(batch)
+    module, variables, x, f = setup or _flagship_setup(batch)
     dt = time_op(lambda x: module.apply(variables, x, f, train=False)["pred"],
                  x, n1=5, n2=25)
     return batch / dt
@@ -77,12 +68,12 @@ def get_torch_baseline_fps() -> float:
         return float("nan")
 
 
-def measure_fullres_fps(batch: int = 8) -> float:
+def measure_fullres_fps(batch: int = 8, setup=None) -> float:
     """Full-resolution path: forward + inverse warp + hole fill to 640x640."""
     from benchmarks.timing import time_op
     from fovealseg_tpu.models.deform_module import DeformSegmentation
 
-    module, variables, x, f = _flagship_setup(batch)
+    module, variables, x, f = setup or _flagship_setup(batch)
     dt = time_op(
         lambda x: module.apply(variables, x, f, method=DeformSegmentation.infer)["pred_sampled"],
         x, n1=5, n2=25,
@@ -90,14 +81,14 @@ def measure_fullres_fps(batch: int = 8) -> float:
     return batch / dt
 
 
-def measure_fullres_labels_fps(batch: int = 8) -> float:
+def measure_fullres_labels_fps(batch: int = 8, setup=None) -> float:
     """Full-res serving path: forward + argmax-only inverse warp (gathers one
     int32 class channel — exact argmax of pred_sampled, the quantity every
     eval metric consumes)."""
     from benchmarks.timing import time_op
     from fovealseg_tpu.models.deform_module import DeformSegmentation
 
-    module, variables, x, f = _flagship_setup(batch)
+    module, variables, x, f = setup or _flagship_setup(batch)
     dt = time_op(
         lambda x: module.apply(
             variables, x, f, argmax_labels=True, method=DeformSegmentation.infer
@@ -108,9 +99,10 @@ def measure_fullres_labels_fps(batch: int = 8) -> float:
 
 
 def main():
-    fps = measure_jax_fps()
-    fullres = measure_fullres_fps()
-    fullres_labels = measure_fullres_labels_fps()
+    setup = _flagship_setup(8)  # one model/param materialization for all three
+    fps = measure_jax_fps(setup=setup)
+    fullres = measure_fullres_fps(setup=setup)
+    fullres_labels = measure_fullres_labels_fps(setup=setup)
     base = get_torch_baseline_fps()
     vs = fps / (5.0 * base) if base == base and base > 0 else 0.0
     print(

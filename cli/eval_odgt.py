@@ -15,8 +15,13 @@ shipped ``evaluate`` only runs on gaze-tuple datasets (eval.py:137 unpacks
 driver defines the gaze explicitly: ``--gaze r c`` (default 0.5 0.5, image
 center), making ``configs/ade20k.yaml`` exercisable end to end.
 
-Each distinct scale shape compiles once (shape-bucketed jit is available in
-``fovealseg_tpu.models.bucketed`` for production pipelines with many sizes).
+Compile cost: ``infer_scale`` jit-keys on the exact (input, seg) shapes, so
+a variably-sized val set (ADE20K) compiles once per DISTINCT image size per
+pyramid level — exact-parity with the reference's dynamic-shape GPU eval, at
+real XLA compile cost on a full run. For throughput over parity, pre-pad the
+dataset to a small set of canonical shapes or use the shape-bucketed
+``fovealseg_tpu.models.bucketed`` (pads to bucket canvases: one executable
+per bucket, numerics differ at padded borders).
 """
 
 from __future__ import annotations
@@ -228,6 +233,8 @@ def main(argv=None):
         n += 1
 
     def miou(i, u):
+        if i is None or u is None:  # zero samples evaluated
+            return 0.0
         i = np.asarray(i, np.float64)
         u = np.asarray(u, np.float64)
         present = u > 0
@@ -279,11 +286,12 @@ def main(argv=None):
     from fovealseg_tpu.utils.ade import class_names
 
     names = class_names(args.object_info, cfg.DATASET.num_class)
-    i_np = np.asarray(inter_sum, np.float64)
-    u_np = np.asarray(union_sum, np.float64)
-    for c in range(cfg.DATASET.num_class):
-        if u_np[c] > 0:
-            log.info("class [%d] %s, IoU: %.4f", c, names[c], i_np[c] / u_np[c])
+    if inter_sum is not None:
+        i_np = np.asarray(inter_sum, np.float64)
+        u_np = np.asarray(union_sum, np.float64)
+        for c in range(cfg.DATASET.num_class):
+            if u_np[c] > 0:
+                log.info("class [%d] %s, IoU: %.4f", c, names[c], i_np[c] / u_np[c])
     log.info("multi-scale eval: %s", json.dumps(result))
     print(json.dumps(result))
     return result

@@ -136,8 +136,13 @@ def main(argv=None):
                 yield shard_batch(make_batch(rng_np, batch_size), mesh, axis)
 
         def val_loader():
+            # a FIXED held-out stream, independent of the training rng: eval
+            # epochs score the same data (epoch-to-epoch deltas are signal,
+            # not sampling noise) and eval cadence/visual dumps cannot shift
+            # the training data sequence
+            val_rng = np.random.default_rng(cfg.TRAIN.seed + 10_000)
             for _ in range(8):
-                yield shard_batch(make_batch(rng_np, batch_size), mesh, axis)
+                yield shard_batch(make_batch(val_rng, batch_size), mesh, axis)
 
     else:
         from fovealseg_tpu.data.lvis import DatasetLVIS
@@ -147,6 +152,23 @@ def main(argv=None):
         val_ds = DatasetLVIS(os.path.join(args.data, "valid"), args.image_root,
                              marker=cfg.DATASET.dataset_marker_valid)
         log.info("LVIS cooked data: %d train / %d val", len(train_ds), len(val_ds))
+
+        # the reference's epoch is exactly one loader pass and epoch_iters
+        # is the schedule unit assumed equal to it (train():74 iterates the
+        # DataLoader to exhaustion; cur_iter = i + (epoch-1)*epoch_iters) —
+        # reconcile them or the staged LR decay and auto-resume's
+        # step//epoch_iters epoch accounting silently desync
+        steps_per_epoch = len(train_ds) // max(batch_size, 1)
+        if steps_per_epoch and steps_per_epoch != cfg.TRAIN.epoch_iters:
+            log.warning(
+                "TRAIN.epoch_iters=%d but the cooked train set yields %d "
+                "batches/epoch — using %d so the LR schedule and resume "
+                "accounting stay in step (reference convention: "
+                "epoch_iters == one dataset pass)",
+                cfg.TRAIN.epoch_iters, steps_per_epoch, steps_per_epoch,
+            )
+            cfg.TRAIN.epoch_iters = steps_per_epoch
+            cfg.TRAIN.max_iters = cfg.TRAIN.epoch_iters * cfg.TRAIN.num_epoch
 
         def train_loader(epoch):
             for b in train_ds.batches(batch_size, shuffle=True, seed=cfg.TRAIN.seed + epoch):
@@ -249,12 +271,23 @@ def main(argv=None):
         def train_step(state, batch, rng):  # noqa: F811
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             y = batch["seg_label"] if dc.gt_gradient else None
-            out, mut = init_module.apply(
-                variables, batch["img_data"], batch["focus_point"], train=True,
-                y=y, rngs={"dropout": rng}, mutable=["batch_stats"],
-            )
+            if cfg.TRAIN.fix_bn:
+                # the reference's eval-mode forward under fix_bn
+                # (train_deform_semantic.py:69): frozen BN stats, no dropout
+                out = init_module.apply(
+                    variables, batch["img_data"], batch["focus_point"],
+                    train=False, y=y,
+                )
+                new_stats = state.batch_stats
+            else:
+                out, mut = init_module.apply(
+                    variables, batch["img_data"], batch["focus_point"], train=True,
+                    y=y, pool_s=batch.get("pool_s"),
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                )
+                new_stats = mut["batch_stats"]
             _, mets = compute_losses(out, batch, lcfg)
-            return TrainState(state.params, mut["batch_stats"], state.opt_state,
+            return TrainState(state.params, new_stats, state.opt_state,
                               state.step + 1), mets
 
         log.info("gt_gradient_intrinsic_only: optimizer updates disabled")

@@ -79,24 +79,10 @@ _SUBTREE_FROM_FILE = {
 }
 
 
-def _flatten(tree: Any, prefix=()) -> dict:
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, prefix + (k,)))
-    else:
-        out[prefix] = tree
-    return out
-
-
-def _unflatten(flat: dict) -> dict:
-    root: dict = {}
-    for path, v in flat.items():
-        node = root
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = v
-    return root
+# flax's canonical tuple-keyed flatteners (same contract as a hand-rolled
+# recursive dict walk, plus Mapping/FrozenDict support)
+from flax.traverse_util import flatten_dict as _flatten  # noqa: E402
+from flax.traverse_util import unflatten_dict as _unflatten  # noqa: E402
 
 
 def torch_key_to_flax(key: str) -> tuple[tuple, str]:

@@ -67,6 +67,22 @@ def write_history_csv(path: str, rows: list[dict]) -> None:
         w.writerows(rows)
 
 
+def load_history_csv(path: str, max_epoch: float) -> list[dict]:
+    """Reload prior history rows on resume (the reference re-reads the CSV
+    and truncates to the resume epoch, train_deform_semantic.py:415-455) —
+    without this, the post-resume 'w' rewrite would discard every
+    pre-restart row exactly in the preemption case auto_resume exists for."""
+    if not os.path.exists(path):
+        return []
+    rows: list[dict] = []
+    with open(path, newline="") as f:
+        for r in csv.DictReader(f):
+            vals = {k: (float(v) if v not in ("", None) else "") for k, v in r.items()}
+            if float(vals.get("epoch", 0.0)) <= max_epoch:
+                rows.append(vals)
+    return rows
+
+
 def train_one_epoch(
     train_step: Callable,
     state,
@@ -191,8 +207,14 @@ def fit(
         rng = jax.random.key(cfg.TRAIN.seed, impl=impl)
     ckpt_dir = cfg.DIR
     os.makedirs(ckpt_dir, exist_ok=True)
-    history: list[dict] = []
-    eval_history: list[dict] = []
+    # resume: preload prior rows so the end-of-epoch 'w' rewrite extends the
+    # curves instead of truncating them (train_deform_semantic.py:415-455)
+    history: list[dict] = load_history_csv(
+        os.path.join(ckpt_dir, "history_epoch_last_0.csv"), cfg.TRAIN.start_epoch
+    ) if cfg.TRAIN.start_epoch > 0 else []
+    eval_history: list[dict] = load_history_csv(
+        os.path.join(ckpt_dir, "eval_history.csv"), cfg.TRAIN.start_epoch
+    ) if cfg.TRAIN.start_epoch > 0 else []
     # TB scalar names mirror the reference writer (train_deform_semantic.py:
     # 403, 521-559)
     writer = SummaryWriter(os.path.join(ckpt_dir, "tensorboard"))

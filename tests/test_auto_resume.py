@@ -40,3 +40,12 @@ def test_auto_resume_restarts_from_epoch_last(tmp_path):
     assert "auto-resume: epoch_last found, start_epoch=2" in logged
     # the resumed run trained exactly epoch 3
     assert "epoch 3 train:" in logged
+    # the resume preserved pre-restart history rows instead of truncating
+    # the CSVs to post-resume epochs (the reference reloads the CSV,
+    # train_deform_semantic.py:415-455)
+    import csv
+
+    with open(run / "history_epoch_last_0.csv", newline="") as f:
+        epochs = [float(r["epoch"]) for r in csv.DictReader(f)]
+    assert min(epochs) <= 2.0, f"pre-restart rows lost: {epochs}"
+    assert max(epochs) > 2.0, f"resumed rows missing: {epochs}"
