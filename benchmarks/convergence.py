@@ -43,7 +43,10 @@ from fovealseg_tpu.train.step import LossConfig, init_state, make_train_step
 BATCH = int(os.environ.get("TRAIN_BATCH", "16"))
 CANVAS = 640
 CHUNK = 100
-EVAL_BATCHES = 4
+# 4 batches keeps the per-chunk eval cheap but noisy (51-class curves swing
+# +-0.2 chunk to chunk); raise for legible curves, or use
+# benchmarks/convergence_eval.py for a one-shot low-noise read of a carry.
+EVAL_BATCHES = int(os.environ.get("EVAL_BATCHES", "4"))
 # NUM_FG=50 is the LVIS-50 flagship shape; the default demo uses 10 classes
 # so the curve is legible in a few thousand steps
 NUM_FG = int(os.environ.get("NUM_FG", "10"))
@@ -81,6 +84,21 @@ def main():
     cfg.TRAIN.lr_mult_saliency *= sz
     cfg.TRAIN.lr_mult_compress *= sz
     cfg.TRAIN.deform_joint_loss = True
+
+    # DECAY_AT_STEP: one-decade LR drop at an absolute step (0 = the config
+    # defaults, which for a <495k-step run means flat LR). Routed through the
+    # production staged schedule (train/optim.py): scale_by_iter decays
+    # per-iteration with N = deform_pretrain * epoch_iters
+    # (train_deform_semantic.py:321-323). Resume-safe: the schedule is a pure
+    # function of the optimizer step count, and the pre-decay LR is identical
+    # to the flat default, so a run resumed from a flat-LR carry continues
+    # the exact same trajectory until the decay step.
+    decay_at = int(os.environ.get("DECAY_AT_STEP", "0"))
+    if decay_at:
+        assert decay_at % 1000 == 0, "DECAY_AT_STEP must be a multiple of 1000"
+        cfg.TRAIN.scale_by_iter = True
+        cfg.TRAIN.epoch_iters = 1000
+        cfg.TRAIN.deform_pretrain = decay_at // 1000
 
     dc = DeformConfig.from_cfg(cfg)
     module = DeformSegmentation(config=dc, dtype=jnp.bfloat16)
