@@ -71,6 +71,10 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard each batch over N devices (0 = single device)")
+    parser.add_argument("--spatial", type=int, default=0,
+                        help="shard the conv trunk's image rows over N devices "
+                             "(single-frame latency mode — use with --batch 1; "
+                             "exclusive with --mesh)")
     parser.add_argument("--canvas", type=int, default=640)
     parser.add_argument("--num-batches", type=int, default=4, help="synthetic batches when --images absent")
     parser.add_argument("--torch-ckpt", default=None)
@@ -104,7 +108,19 @@ def main(argv=None):
 
         set_conv_packing(True)  # trace-time flag; set before any jit below
     dcfg = DeformConfig.from_cfg(cfg)
-    module = DeformSegmentation(config=dcfg, dtype=dtype)
+    spatial_sh = smesh = None
+    if args.spatial > 1:
+        # spatial partitioning: split one frame's conv work over N chips
+        # (parallel/mesh.py — at b1 there is no batch axis to split)
+        if args.mesh > 1:
+            raise SystemExit("--spatial and --mesh are exclusive")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fovealseg_tpu.parallel.mesh import make_mesh_spatial
+
+        smesh = make_mesh_spatial(args.spatial)
+        spatial_sh = NamedSharding(smesh, P(None, "spatial"))
+    module = DeformSegmentation(config=dcfg, dtype=dtype, spatial_sharding=spatial_sh)
 
     x0 = jnp.zeros((args.batch, args.canvas, args.canvas, 3), jnp.float32)
     f0 = jnp.full((args.batch, 2), 0.5, jnp.float32)
@@ -159,6 +175,11 @@ def main(argv=None):
             in_shardings=(repl, repl, split, split),
             out_shardings=split,
         )
+    elif args.spatial > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(smesh, P())
+        serve = jax.jit(serve_fn, in_shardings=(rep,) * 4, out_shardings=rep)
     else:
         serve = jax.jit(serve_fn)
 

@@ -149,6 +149,15 @@ class DeformSegmentation(nn.Module):
     config: DeformConfig
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    # Latency-oriented spatial partitioning (beyond-reference scaling axis):
+    # a jax.sharding.NamedSharding like NamedSharding(mesh, P(None, 'spatial'))
+    # constrains the warped task image's ROWS over the mesh, so XLA's SPMD
+    # partitioner runs the encoder/decoder convs spatially partitioned with
+    # automatic halo exchanges over ICI (the single-image latency analogue of
+    # data parallelism — there is no batch to split at b1). The inverse-warp
+    # stage is re-replicated first (scatter/Pallas JFA stay single-shard).
+    # Only for GSPMD jit paths; must be None under shard_map (the dp path).
+    spatial_sharding: Any = None
 
     def setup(self):
         from fovealseg_tpu.models.builder import (
@@ -231,6 +240,24 @@ class DeformSegmentation(nn.Module):
             xs = jnp.full_like(xs, 1.0 / (xs.shape[1] * xs.shape[2]))
         return xs
 
+    def _shard_rows(self, t):
+        """Constrain task-image rows over the spatial mesh axis (no-op when
+        spatial_sharding is unset)."""
+        if self.spatial_sharding is None:
+            return t
+        return jax.lax.with_sharding_constraint(t, self.spatial_sharding)
+
+    def _replicate(self, t):
+        """Re-replicate before stages that must run single-shard (the
+        inverse-warp scatter + Pallas JFA)."""
+        if self.spatial_sharding is None:
+            return t
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            t, NamedSharding(self.spatial_sharding.mesh, PartitionSpec())
+        )
+
     def grids(self, xs, task_hw=None, label_hw=None):
         """Saliency -> (grid, grid_y) at task/label resolution.
 
@@ -298,8 +325,8 @@ class DeformSegmentation(nn.Module):
                 jnp.asarray(pool_s, jnp.int32) >= 0,
                 xa.astype(x_sampled.dtype), x_sampled,
             )
-        feats = self.encoder(x_sampled, train=train)
-        pred = self.decoder(feats, train=train)
+        feats = self.encoder(self._shard_rows(x_sampled), train=train)
+        pred = self._replicate(self.decoder(feats, train=train))
         out = dict(xs=xs, xs_our=xs_our, grid=grid, grid_y=grid_y,
                    x_sampled=x_sampled, pred=pred)
         if c.loss_at_high_res and c.uniform_sample == "BI":
@@ -371,8 +398,8 @@ class DeformSegmentation(nn.Module):
             x_sampled = resize_bilinear(x.astype(self.dtype), c.task_hw_infer)
         else:
             x_sampled = grid_sample(x.astype(self.dtype), grid)
-        feats = self.encoder(x_sampled, train=False)
-        pred = self.decoder(feats, train=False)
+        feats = self.encoder(self._shard_rows(x_sampled), train=False)
+        pred = self._replicate(self.decoder(feats, train=False))
         task_idx, valid = inverse_grid_index(grid, seg_hw)
         th, tw = grid.shape[1], grid.shape[2]
         safe = jnp.maximum(task_idx, 0)

@@ -124,6 +124,59 @@ def replicate_state(state, mesh: Mesh):
 
 
 # ---------------------------------------------------------------------------
+# Spatial partitioning (latency-oriented serving, beyond-reference).
+#
+# At batch 1 there is no data axis to split, so the way to use multiple
+# chips on one frame is to split the *image*: the warped task image's rows
+# are sharded over a 1-D 'spatial' mesh (a with_sharding_constraint inside
+# DeformSegmentation — the ``spatial_sharding`` module field) and XLA's SPMD
+# partitioner runs every encoder/decoder conv spatially partitioned,
+# inserting the 3x3-halo collective-permutes over ICI automatically. The
+# pre-encoder stages (saliency/grid/warp gather) and the inverse-warp stage
+# (scatter + Pallas JFA) stay replicated — they are a few percent of the
+# FLOPs and gather/scatter-bound, while the conv stacks (>90% of b1
+# latency) split N ways. Bit-equivalence vs the single-device forward is
+# pinned by tests/test_parallel_spatial.py on a CPU mesh.
+
+
+def make_mesh_spatial(num_devices: Optional[int] = None) -> Mesh:
+    return make_mesh(num_devices, axis="spatial")
+
+
+def make_spatial_infer_fn(config, mesh: Mesh, dtype=None, method: str = "forward",
+                          **infer_kwargs):
+    """Build (module, jitted_fn) running the flagship forward spatially
+    partitioned over ``mesh``.
+
+    method='forward': fn(variables, x, f) -> pred (warped-domain logits).
+    method='infer':   fn(variables, x, f) -> the full-res infer dict
+    (``infer_kwargs`` forwarded, e.g. argmax_labels=True for serving).
+    Inputs/outputs are replicated; only the conv trunk runs sharded.
+    """
+    import jax.numpy as jnp
+
+    from fovealseg_tpu.models.deform_module import DeformSegmentation
+
+    module = DeformSegmentation(
+        config=config, dtype=dtype or jnp.float32,
+        spatial_sharding=NamedSharding(mesh, P(None, "spatial")),
+    )
+    rep = NamedSharding(mesh, P())
+
+    if method == "forward":
+        def fn(variables, x, f):
+            return module.apply(variables, x, f, train=False)["pred"]
+    elif method == "infer":
+        def fn(variables, x, f):
+            return module.apply(variables, x, f,
+                                method=DeformSegmentation.infer, **infer_kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    return module, jax.jit(fn, in_shardings=(rep, rep, rep), out_shardings=rep)
+
+
+# ---------------------------------------------------------------------------
 # 2-D (data, model) mesh: GSPMD auto-parallel training step.
 #
 # The reference is data-parallel only (SURVEY.md §2.5) — the shard_map DP

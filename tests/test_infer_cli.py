@@ -36,3 +36,53 @@ def test_infer_cli_writes_masks_and_throughput(tmp_path):
 
     m = np.load(out / [n for n in names if n.endswith(".npy")][0])
     assert m.shape == (64, 64) and m.dtype == np.uint8
+
+
+def test_infer_cli_spatial_sharded(tmp_path):
+    """--spatial N: single-frame latency mode — conv trunk rows sharded over
+    N devices (parallel/mesh.py::make_spatial_infer_fn)."""
+    out = tmp_path / "masks"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_num_cpu_devices', 2);"
+        "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_tests');"
+        "import runpy, sys;"
+        f"sys.argv=['infer.py','--cfg','fovealseg_tpu/configs/deform.yaml',"
+        "'--batch','1','--canvas','64','--num-batches','3','--spatial','2',"
+        f"'--out',{str(out)!r},"
+        "'TRAIN.task_input_size','(16,16)','TRAIN.saliency_input_size','(16,16)',"
+        "'MODEL.arch_encoder','hrnetv2_nodownsp_tiny','MODEL.gaussian_radius','5'];"
+        "runpy.run_path('cli/infer.py', run_name='__main__')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["frames"] == 2 and summary["fps"] > 0
+    import numpy as np
+
+    names = sorted(n for n in os.listdir(out) if n.endswith(".mask.npy"))
+    assert len(names) == 3
+    m = np.load(out / names[0])
+    assert m.shape == (64, 64) and m.dtype == np.uint8
+
+
+def test_infer_cli_spatial_mesh_exclusive(tmp_path):
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_num_cpu_devices', 2);"
+        "import runpy, sys;"
+        "sys.argv=['infer.py','--cfg','fovealseg_tpu/configs/deform.yaml',"
+        "'--batch','2','--spatial','2','--mesh','2',"
+        "'TRAIN.task_input_size','(16,16)','TRAIN.saliency_input_size','(16,16)',"
+        "'MODEL.arch_encoder','hrnetv2_nodownsp_tiny','MODEL.gaussian_radius','5'];"
+        "runpy.run_path('cli/infer.py', run_name='__main__')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "exclusive" in proc.stderr
