@@ -9,7 +9,10 @@ mean +- std full-res fg IoU / bin IoU / pixel acc.
 
 Usage: SAVE_DIR=/tmp/conv51_ckpt NUM_FG=50 EVAL_BATCHES=32 \
            python benchmarks/convergence_eval.py
-Knobs mirror convergence.py (TRAIN_BATCH, NUM_FG).
+Knobs mirror convergence.py (TRAIN_BATCH, NUM_FG). QUANTIZE=int8 runs the
+same eval through the opt-in W8A8 serving path (TPU.quantize semantics,
+models/layers.py) — the task-accuracy check for the quantization feature
+on real trained weights.
 """
 
 import json
@@ -36,6 +39,7 @@ CANVAS = 640
 NUM_FG = int(os.environ.get("NUM_FG", "50"))
 BG = NUM_FG
 N_BATCHES = int(os.environ.get("EVAL_BATCHES", "32"))
+QUANTIZE = os.environ.get("QUANTIZE", "")  # "int8" -> W8A8 serving path
 
 
 def main():
@@ -70,14 +74,35 @@ def main():
     step0 = int(restored["step"])
     print(f"evaluating checkpoint at step {step0}", flush=True)
 
+    quant = None
+    if QUANTIZE == "int8":
+        # the cli/infer.py W8A8 serving configuration: trace-time flag on,
+        # weight quantization hoisted out of the loop, passed as an argument
+        # (a 130M-param closure constant would blow the tunnel compile limit)
+        from fovealseg_tpu.models.layers import (
+            quantize_params,
+            quantized_kernel_paths,
+            set_quantization,
+        )
+
+        set_quantization(True)
+        paths = quantized_kernel_paths(
+            module, {"params": state.params, "batch_stats": state.batch_stats},
+            sample["img_data"], sample["focus_point"],
+            argmax_labels=True, method=DeformSegmentation.infer,
+        )
+        quant = quantize_params(state.params, paths)
+
     @jax.jit
-    def eval_one(state, i):
+    def eval_one(state, quant, i):
         # the same held-out stream convergence.py uses (negative fold_in),
         # extended past its 4 batches
         b = make_batch_device(jax.random.fold_in(data_key, -(1 + i)), BATCH, CANVAS, NUM_FG)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
         out = module.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            b["img_data"], b["focus_point"],
+            variables, b["img_data"], b["focus_point"],
             argmax_labels=True, method=DeformSegmentation.infer,
         )
         pred = out["pred_label"].astype(jnp.int32)
@@ -93,10 +118,11 @@ def main():
         return (iou(pred == cls), iou(pred != BG),
                 jnp.mean((pred == gt_full).astype(jnp.float32)))
 
-    rows = np.array([[float(v) for v in eval_one(state, jnp.int32(i))]
+    rows = np.array([[float(v) for v in eval_one(state, quant, jnp.int32(i))]
                      for i in range(N_BATCHES)])
     res = {
         "step": step0,
+        "quantize": QUANTIZE or "bf16",
         "eval_batches": N_BATCHES,
         "samples": N_BATCHES * BATCH,
         "fg_iou_mean": float(rows[:, 0].mean()),
