@@ -29,7 +29,13 @@ def main(argv=None):
                         help="reference device grammar ('0-3', 'gpu0,gpu1'); "
                              "sizes the data mesh (first N local devices). "
                              "Default: all devices")
-    parser.add_argument("--data", default="synthetic", help="'synthetic', or path to a cooked LVIS dir")
+    parser.add_argument("--data", default="synthetic",
+                        help="'synthetic', or path to a cooked data root "
+                             "(with train/ and valid/ partition dirs)")
+    parser.add_argument("--dataset", default="lvis", choices=["lvis", "cityscapes"],
+                        help="cooked-data family under --data: 'lvis' (b2 grammar) or "
+                             "'cityscapes' (b3 gaze-crop grammar; the reference's "
+                             "PreprocessDataset supports both, dataset.py:45)")
     parser.add_argument("--image-root", default=None, help="COCO image dir for cooked LVIS data")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
@@ -144,6 +150,19 @@ def main(argv=None):
             for _ in range(8):
                 yield shard_batch(make_batch(val_rng, batch_size), mesh, axis)
 
+    elif args.dataset == "cityscapes":
+        # cooked b3 gaze-crop samples (the reference's PreprocessDataset
+        # consumes both families, DynamicFocus/e_preprocess_scripts/
+        # dataset.py:45; its shipped driver hardcodes 'lvis' at
+        # train_deform_semantic.py:461 — here both are first-class)
+        from fovealseg_tpu.data.cityscapes import DatasetCityscapes
+
+        train_ds = DatasetCityscapes(os.path.join(args.data, "train"),
+                                     marker=cfg.DATASET.dataset_marker_train)
+        val_ds = DatasetCityscapes(os.path.join(args.data, "valid"),
+                                   marker=cfg.DATASET.dataset_marker_valid)
+        log.info("Cityscapes cooked data: %d train / %d val",
+                 len(train_ds), len(val_ds))
     else:
         from fovealseg_tpu.data.lvis import DatasetLVIS
 
@@ -153,13 +172,21 @@ def main(argv=None):
                              marker=cfg.DATASET.dataset_marker_valid)
         log.info("LVIS cooked data: %d train / %d val", len(train_ds), len(val_ds))
 
+    if args.data != "synthetic":
         # the reference's epoch is exactly one loader pass and epoch_iters
         # is the schedule unit assumed equal to it (train():74 iterates the
         # DataLoader to exhaustion; cur_iter = i + (epoch-1)*epoch_iters) —
         # reconcile them or the staged LR decay and auto-resume's
         # step//epoch_iters epoch accounting silently desync
         steps_per_epoch = len(train_ds) // max(batch_size, 1)
-        if steps_per_epoch and steps_per_epoch != cfg.TRAIN.epoch_iters:
+        if steps_per_epoch == 0 or len(val_ds) < batch_size:
+            raise SystemExit(
+                f"cooked set too small for the global batch: "
+                f"{len(train_ds)} train / {len(val_ds)} val samples but "
+                f"batch_size_per_gpu={cfg.TRAIN.batch_size_per_gpu} x "
+                f"{n_dev} devices = {batch_size}; reduce the batch or the "
+                f"device count (--gpus)")
+        if steps_per_epoch != cfg.TRAIN.epoch_iters:
             log.warning(
                 "TRAIN.epoch_iters=%d but the cooked train set yields %d "
                 "batches/epoch — using %d so the LR schedule and resume "
