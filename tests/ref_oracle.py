@@ -12,7 +12,18 @@ REF = "/root/reference"
 _cache: dict[str, types.ModuleType] = {}
 
 
-def load_ref_module(relpath: str, name: str) -> types.ModuleType:
+def load_ref_module(
+    relpath: str,
+    name: str,
+    replacements: tuple = (),
+    inject: dict | None = None,
+) -> types.ModuleType:
+    """Exec a reference file as a module.
+
+    ``replacements``: extra (old, new) source rewrites to dodge imports the
+    reference itself cannot satisfy. ``inject``: names pre-seeded into the
+    module namespace (e.g. a stub for an unshipped dependency).
+    """
     if name in _cache:
         return _cache[name]
     if REF not in sys.path:
@@ -21,7 +32,11 @@ def load_ref_module(relpath: str, name: str) -> types.ModuleType:
     # dodge package-relative / unavailable imports
     src = src.replace("from .utils import load_url", "load_url = None")
     src = src.replace("from . import resnet, resnext, mobilenet, hrnet", "")
+    for old, new in replacements:
+        src = src.replace(old, new)
     mod = types.ModuleType(name)
+    if inject:
+        mod.__dict__.update(inject)
     exec(compile(src, name, "exec"), mod.__dict__)
     _cache[name] = mod
     return mod
