@@ -45,15 +45,20 @@ def _cook_lvis(args) -> int:
         if not jsons[part]:
             raise SystemExit(f"partition {part!r} requested but --{part}-json not given")
     total = 0
+    # one PreprocessLVIS per partition: constructing it parses the full LVIS
+    # annotation json (~1 GB for train), so hoist it out of the sample_num loop
+    pres = {
+        part: PreprocessLVIS(
+            jsons[part], os.path.join(args.out, part),
+            canvas=args.canvas, seed=args.seed,
+        )
+        for part in args.dataset_partition
+    }
     for n_train in args.sample_num:
         for part in args.dataset_partition:
             n = n_train if part == "train" else n_train // 5
             marker = f"{args.marker_prefix}{n}"
-            pre = PreprocessLVIS(
-                jsons[part], os.path.join(args.out, part),
-                canvas=args.canvas, seed=args.seed,
-            )
-            written = pre.make_n_samples(n, marker=marker)
+            written = pres[part].make_n_samples(n, marker=marker)
             total += len(written)
             print(f"lvis {part}/{marker}: {len(written)}/{n} samples "
                   f"-> {os.path.join(args.out, part, marker)}")

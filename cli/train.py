@@ -128,7 +128,6 @@ def main(argv=None):
     sync_axis = axis if (cfg.TPU.sync_bn and n_dev > 1 and not use_2d) else None
     module = DeformSegmentation(config=dc, axis_name=sync_axis, dtype=dtype)
     init_module = DeformSegmentation(config=dc, dtype=dtype)
-    tx = create_optimizer(cfg)
     lcfg = LossConfig.from_cfg(cfg)
 
     batch_size = cfg.TRAIN.batch_size_per_gpu * n_dev
@@ -205,6 +204,10 @@ def main(argv=None):
             for b in val_ds.batches(batch_size, shuffle=False):
                 yield shard_batch(b, mesh, axis)
 
+    # build the optimizer only AFTER the epoch_iters reconciliation above:
+    # make_stage_schedules closes over cfg.TRAIN.epoch_iters, so creating it
+    # earlier would bake the stale value into the decade-decay boundaries
+    tx = create_optimizer(cfg)
     sample = next(iter(val_loader()))
     state = init_state(init_module, tx, jax.random.PRNGKey(cfg.TRAIN.seed), sample)
     from fovealseg_tpu.utils.summary import summarize
@@ -303,7 +306,7 @@ def main(argv=None):
                 # (train_deform_semantic.py:69): frozen BN stats, no dropout
                 out = init_module.apply(
                     variables, batch["img_data"], batch["focus_point"],
-                    train=False, y=y,
+                    train=False, y=y, pool_s=batch.get("pool_s"),
                 )
                 new_stats = state.batch_stats
             else:

@@ -309,10 +309,13 @@ class DeformSegmentation(nn.Module):
             # halving the row bytes (bf16) nearly halves the warp cost; the
             # result feeds the bf16 encoder anyway
             x_sampled = grid_sample(x.astype(self.dtype), grid)
-        if train and pool_s is not None:
+        if pool_s is not None:
             # Recasens pretrain trick: pool to a random (s, s) and upsample
             # back (models/models.py:911-917) — fixed-shape via a stacked
-            # per-s operator indexed by the traced s
+            # per-s operator indexed by the traced s. Gated on pool_s alone,
+            # not ``train``: the reference applies it in TRAIN.fix_bn
+            # (eval-mode) training forwards too — models.py:905-920 checks
+            # only segSize/epoch, not module.training
             s_min, ar_stack, ac_stack = _pretrain_pool_operators(
                 (x_sampled.shape[1], x_sampled.shape[2]), c.saliency_hw
             )

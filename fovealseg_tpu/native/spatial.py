@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import warnings
 
 import numpy as np
 
@@ -39,7 +40,21 @@ def _load():
     if _lib is not None:
         return _lib
     if _stale():
-        subprocess.run(["make", "-C", _HERE], check=True, capture_output=True)
+        # best-effort rebuild: checkout mtimes routinely make sources look
+        # newer than the committed .so, and deployment boxes may lack a C++
+        # toolchain — only a MISSING library makes a failed build fatal
+        proc = subprocess.run(["make", "-C", _HERE], capture_output=True, text=True)
+        if proc.returncode != 0:
+            if os.path.exists(_LIB_PATH):
+                warnings.warn(
+                    "libfovealspatial.so looks stale but rebuilding failed; "
+                    "falling back to the shipped binary.\n" + (proc.stderr or "")
+                )
+            else:
+                raise RuntimeError(
+                    f"building libfovealspatial.so failed (rc={proc.returncode}):\n"
+                    f"{proc.stderr}"
+                )
     lib = ctypes.CDLL(_LIB_PATH)
     lib.delaunay_triangulate.restype = ctypes.c_int
     lib.delaunay_triangulate.argtypes = [

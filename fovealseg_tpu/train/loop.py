@@ -131,7 +131,12 @@ def train_one_epoch(
             and (epoch < cfg.TRAIN.smooth_deform_2nd_start
                  or epoch > cfg.TRAIN.smooth_deform_2nd_end)
         )
-        if pretrain_off:
+        if cfg.TRAIN.deform_pretrain_bol:
+            # pooling can NEVER activate this run (default config): omit the
+            # key entirely so the step compiles without the stacked-pool
+            # einsums + select (presence never changes mid-run → no recompile)
+            pass
+        elif pretrain_off:
             batch["pool_s"] = jnp.int32(-1)
         else:
             lo = min(cfg.TRAIN.saliency_input_size)

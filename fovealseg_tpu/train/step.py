@@ -218,7 +218,7 @@ def make_train_step(
         if fix_bn:
             out = module.apply(
                 variables, batch["img_data"], batch["focus_point"],
-                train=False, y=y,
+                train=False, y=y, pool_s=pool_s,
             )
             new_stats = batch_stats
         else:

@@ -6,8 +6,10 @@ materialise the exact on-disk formats.
 """
 
 import csv
+import os
 
 import numpy as np
+import pytest
 
 from fovealseg_tpu.assets.ade20k import (
     ADE20K_NAMES,
@@ -62,6 +64,27 @@ def test_mat_and_csv_round_trip(tmp_path):
     assert rows[1][5] == "wall" and rows[1][0] == "1"
     # the csv round-trips through the consumer surface
     assert class_names(str(info), 150)[0] == "wall"
+
+
+_REF_MAT = "/root/reference/data/color150.mat"
+_REF_CSV = "/root/reference/data/object150_info.csv"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_MAT), reason="reference assets absent")
+def test_palette_exact_vs_reference_mat():
+    # pin the full 150-row table byte-for-byte against the reference asset
+    from scipy.io import loadmat
+
+    assert np.array_equal(loadmat(_REF_MAT)["colors"], ade20k_colors())
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_CSV), reason="reference assets absent")
+def test_metadata_exact_vs_reference_csv(tmp_path):
+    ours = tmp_path / "object150_info.csv"
+    write_object150_csv(str(ours))
+    ref_rows = list(csv.reader(open(_REF_CSV)))
+    our_rows = list(csv.reader(open(ours)))
+    assert our_rows == ref_rows
 
 
 def test_utils_ade_uses_real_tables_at_150():

@@ -63,3 +63,25 @@ def test_pool_s_traced_gate(rng):
     # which is identity
     top = fwd(jnp.int32(16))
     np.testing.assert_allclose(np.asarray(top), np.asarray(off), rtol=1e-3, atol=1e-4)
+
+
+def test_pool_applies_in_eval_mode_forward(rng):
+    """TRAIN.fix_bn trains with the module in eval mode but the reference
+    still pools (models.py:905-920 gates on segSize/epoch, not training
+    mode) — pool_s must take effect under train=False too."""
+    cfg = DeformConfig(
+        task_hw=(16, 16), task_hw_infer=(16, 16), saliency_hw=(16, 16),
+        gaussian_radius=5, arch_encoder="hrnetv2_nodownsp_tiny",
+    )
+    module = DeformSegmentation(config=cfg)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    f = jnp.full((1, 2), 0.5, jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), x, f)
+    on = module.apply(variables, x, f, train=False, pool_s=jnp.int32(8))
+    off = module.apply(variables, x, f, train=False, pool_s=jnp.int32(-1))
+    base = module.apply(variables, x, f, train=False)
+    assert not np.allclose(np.asarray(on["x_sampled"]),
+                           np.asarray(off["x_sampled"]))
+    np.testing.assert_allclose(np.asarray(off["x_sampled"]),
+                               np.asarray(base["x_sampled"]),
+                               rtol=1e-5, atol=1e-6)
