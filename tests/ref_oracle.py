@@ -31,7 +31,9 @@ def load_ref_module(
     src = open(f"{REF}/{relpath}").read()
     # dodge package-relative / unavailable imports
     src = src.replace("from .utils import load_url", "load_url = None")
-    src = src.replace("from . import resnet, resnext, mobilenet, hrnet", "")
+    src = src.replace(
+        "from . import resnet, resnext, mobilenet, hrnetv2_nodownsp, segformer, deeplab", "")
+    src = src.replace("from . import resnet, resnext, mobilenet, hrnetv2_nodownsp", "")
     for old, new in replacements:
         src = src.replace(old, new)
     mod = types.ModuleType(name)
