@@ -1,7 +1,7 @@
 """DynamicFocus auxiliary utilities (croper, metrics, earlystop, timers).
 
 Rebuilds /root/reference/DynamicFocus/d_model/{nn_B1_croper.py:8-36,
-nn_A3_metrics.py:8-147, nn_A4_earlystop.py:4-33} and
+nn_A1_tools.py:4-43, nn_A3_metrics.py:8-147, nn_A4_earlystop.py:4-33} and
 utility/watch.py:6-39 — pure-python/numpy host helpers (these are not
 hot-path; the jit-safe metric variants live in fovealseg_tpu.core.metrics).
 """
@@ -110,6 +110,39 @@ def evaluate_classification(scores: np.ndarray, target: np.ndarray, class_num: i
         f1d[k] = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
         accd[k] = float((bp == bt).mean())
     return f1d, accd, pd, rd
+
+
+# ---------------------------------------------------------------------------
+# distribution CDFs + image normalizers (nn_A1_tools.py:4-43)
+# ---------------------------------------------------------------------------
+
+_A_GD_CDF_CONSTANT = float(np.sqrt(2.0 / np.pi))
+
+
+def cd_cdf(x: np.ndarray) -> np.ndarray:
+    """Cauchy distribution CDF (nn_A1_tools.py:4-8)."""
+    return np.arctan(x) / np.pi + 0.5
+
+
+def a_gd_cdf(x: np.ndarray) -> np.ndarray:
+    """Approximate Gaussian CDF: tanh(sqrt(2/pi) x)/2 + 0.5 (nn_A1_tools.py:11-16)."""
+    return np.tanh(_A_GD_CDF_CONSTANT * x) / 2.0 + 0.5
+
+
+def standardize_bchw(img: np.ndarray) -> np.ndarray:
+    """Channel-wise (x - 0.5) / 0.5 normalization (nn_A1_tools.py:28-31)."""
+    return (img - 0.5) / 0.5
+
+
+def scale01_bchw(img: np.ndarray) -> np.ndarray:
+    """Per-sample-per-channel min-max rescale to [0, 1] over (H, W)
+    (nn_A1_tools.py:34-43; returned functionally instead of mutated
+    in place — identical values, degenerate H*W==1 passes through)."""
+    if img.shape[-2] * img.shape[-1] <= 1:
+        return img
+    vmax = img.max(axis=(-2, -1), keepdims=True)
+    vmin = img.min(axis=(-2, -1), keepdims=True)
+    return 1.0 - (vmax - img) / (vmax - vmin)
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,35 @@ def test_dynamicfocus_metrics(rng):
     assert len(seg_iou) == 2
 
 
+def test_nn_a1_tools_torch_parity(rng):
+    """cd_cdf / a_gd_cdf / standardize / scale01 vs the reference torch
+    formulas (DynamicFocus/d_model/nn_A1_tools.py:4-43)."""
+    import torch
+
+    from fovealseg_tpu.utils.dynamicfocus import (
+        a_gd_cdf,
+        cd_cdf,
+        scale01_bchw,
+        standardize_bchw,
+    )
+
+    x = rng.normal(0, 2, (4, 3, 8, 8)).astype(np.float32)
+    t = torch.from_numpy(x)
+    np.testing.assert_allclose(
+        cd_cdf(x), (torch.arctan(t) / torch.pi + 0.5).numpy(), rtol=1e-5, atol=1e-6)
+    c = torch.sqrt(torch.tensor(2.0 / torch.pi))
+    np.testing.assert_allclose(
+        a_gd_cdf(x), (torch.tanh(c * t) / 2.0 + 0.5).numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(standardize_bchw(x), ((t - 0.5) / 0.5).numpy(), rtol=1e-6)
+    # reference scale01: in-place 1 - (max - x)/(max - min) == min-max to [0,1]
+    vmax = t.amax(dim=(-2, -1), keepdim=True)
+    vmin = t.amin(dim=(-2, -1), keepdim=True)
+    ref = (1.0 - (vmax - t) / (vmax - vmin)).numpy()
+    np.testing.assert_allclose(scale01_bchw(x), ref, rtol=1e-5)
+    one = np.ones((1, 1, 1, 1), np.float32)
+    assert (scale01_bchw(one) == one).all()
+
+
 def test_earlystop():
     m = EarlyStopMin()
     assert m.check(1.0) and not m.check(2.0) and m.check(0.5)
