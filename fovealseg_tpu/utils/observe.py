@@ -152,6 +152,63 @@ def load_tensor(path: str) -> np.ndarray:
     return np.load(path)
 
 
+def save_jsonl(data, path: str) -> None:
+    """One JSON object per line (utility/fctn.py:29-39)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for entry in data:
+            f.write(json.dumps(entry, ensure_ascii=False) + "\n")
+
+
+def read_jsonl(path: str) -> list:
+    """Read a JSONL file into a list (utility/fctn.py:42-53)."""
+    with open(path, encoding="utf-8") as f:
+        return [json.loads(line.strip()) for line in f if line.strip()]
+
+
+def save_text(data: str, path: str) -> None:
+    """utility/fctn.py:78-86."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(data)
+
+
+def read_text(path: str) -> str:
+    """utility/fctn.py:89-97."""
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+def date2datetime(d):
+    """date -> midnight datetime (utility/fctn.py:100-101)."""
+    import datetime as _dt
+
+    return _dt.datetime.combine(d, _dt.time())
+
+
+def get_args_kwargs(*args, **kwargs):
+    """Capture (args, kwargs) verbatim (utility/fctn.py:14-15)."""
+    return args, kwargs
+
+
+def get_dctns_cols_by_df(df):
+    """DataFrame -> (row dicts, column list) (utility/fctn.py:18-21)."""
+    cols = df.columns.values.tolist()
+    dctns = [dict(zip(cols, row)) for row in df.values.tolist()]
+    return dctns, cols
+
+
+def get_df_by_dctns_cols(dctns, cols):
+    """(row dicts, column list) -> DataFrame (utility/fctn.py:24-26)."""
+    import pandas as pd
+
+    return pd.DataFrame(dctns, columns=cols)
+
+
+def pbox(box) -> None:
+    """Print an iterable of lines (utility/xprint.py:3-5)."""
+    for line in box:
+        print(line)
+
+
 def xprint(*args, flush: bool = True, **kwargs) -> None:
     """Timestamped print (utility/xprint.py)."""
     print(time.strftime("[%H:%M:%S]"), *args, flush=flush, **kwargs)

@@ -202,3 +202,101 @@ def test_misc_utils(tmp_path):
     )
     # label 8 masked, label 2 out of range masked
     assert lt.tolist() == [0, 1] and lp.tolist() == [1, 0]
+
+
+def test_torch_tools_tail_parity(rng):
+    """add_alpha/kernel_swap/gaussian_function/gen_focus/str_shape vs the
+    exec'd reference torch_tools (utility/torch_tools.py:14-95)."""
+    import torch
+
+    from fovealseg_tpu.utils.torch_tools import (
+        add_alpha,
+        gaussian_function,
+        gen_focus_gaussian_hw,
+        get_padding_to_canvas,
+        kernel_swap,
+        str_tensor_shape,
+    )
+    from tests.ref_oracle import load_ref_module
+
+    ref = load_ref_module("DynamicFocus/utility/torch_tools.py", "ref_torch_tools")
+
+    img = rng.random((2, 3, 5, 7)).astype(np.float32)
+    a = rng.random((5, 7)).astype(np.float32)
+    for alpha in (None, a):
+        ours = add_alpha(img, alpha)
+        theirs = ref.add_alpha(
+            torch.from_numpy(img), None if alpha is None else torch.from_numpy(alpha)
+        ).numpy()
+        np.testing.assert_allclose(ours, theirs)
+
+    x = rng.random((2, 4, 6, 3, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        kernel_swap(x), ref.kernel_swap(torch.from_numpy(x)).numpy()
+    )
+
+    t = rng.random(32).astype(np.float32) * 10 - 5
+    np.testing.assert_allclose(
+        gaussian_function(t, mean=1.0, std=2.5),
+        ref.gaussian_function(torch.from_numpy(t), mean=1.0, std=2.5).numpy(),
+        rtol=1e-6,
+    )
+
+    np.testing.assert_allclose(
+        gen_focus_gaussian_hw(3, 9, 16, 24, std=8.0),
+        ref.gen_focus_Gaussian_HxW(3, 9, 16, 24, std=8.0).numpy(),
+        rtol=1e-5,
+    )
+
+    assert get_padding_to_canvas(30, 62, 64, 64) == ref.get_padding(30, 62, 64, 64)
+    assert str_tensor_shape(img) == ref.str_tensor_shape(torch.from_numpy(img)) == "2x3x5x7"
+
+
+def test_fctn_io_tail(tmp_path):
+    import datetime
+
+    from fovealseg_tpu.utils.observe import (
+        date2datetime,
+        get_args_kwargs,
+        get_dctns_cols_by_df,
+        get_df_by_dctns_cols,
+        pbox,
+        read_jsonl,
+        read_text,
+        save_jsonl,
+        save_text,
+    )
+
+    rows = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    p = tmp_path / "r.jsonl"
+    save_jsonl(rows, str(p))
+    assert read_jsonl(str(p)) == rows
+
+    t = tmp_path / "t.txt"
+    save_text("héllo\nworld", str(t))
+    assert read_text(str(t)) == "héllo\nworld"
+
+    dt = date2datetime(datetime.date(2026, 8, 20))
+    assert dt == datetime.datetime(2026, 8, 20, 0, 0)
+
+    args, kwargs = get_args_kwargs(1, 2, k=3)
+    assert args == (1, 2) and kwargs == {"k": 3}
+
+    df = get_df_by_dctns_cols(rows, ["a", "b"])
+    dctns, cols = get_dctns_cols_by_df(df)
+    assert dctns == rows and cols == ["a", "b"]
+
+    pbox(["line1", "line2"])  # smoke: prints without error
+
+
+def test_plot_helpers(tmp_path):
+    from fovealseg_tpu.utils.plot import plt_imgshow, plt_multi_imgshow
+
+    rgb = np.random.default_rng(0).random((3, 8, 10)).astype(np.float32)
+    gray = rgb[0]
+    cax = plt_imgshow(rgb, "rgb")
+    assert cax is not None
+    fig = plt_multi_imgshow([rgb, gray, None], ["a", "b", "c"], row_col=(1, 3))
+    out = tmp_path / "fig.png"
+    fig.savefig(str(out))
+    assert out.stat().st_size > 0
