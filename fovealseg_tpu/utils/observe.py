@@ -152,6 +152,98 @@ def load_tensor(path: str) -> np.ndarray:
     return np.load(path)
 
 
+# -- nn_A0_utils model/memory introspection (d_model/nn_A0_utils.py) ---------
+
+def byte2mb(bt: float) -> float:
+    """nn_A0_utils.byte2MB:238-239."""
+    return round(bt / (1024**2), 3)
+
+
+_UNIT_DIV = {"KB": 1024, "MB": 1024**2, "GB": 1024**3}
+
+
+def calc_tensor_memsize(arr, unit: str = "MB") -> float:
+    """Array size in KB/MB/GB (nn_A0_utils.calc_tensor_memsize:177-193)."""
+    if unit not in _UNIT_DIV:
+        raise ValueError("Invalid unit. Please choose from 'KB', 'MB', or 'GB'.")
+    return arr.size * arr.dtype.itemsize / _UNIT_DIV[unit]
+
+
+def calc_model_memsize(params, unit: str = "MB", show: bool = True,
+                       label: str = "the model") -> float:
+    """Total param-tree size (nn_A0_utils.calc_model_memsize:196-203)."""
+    import jax
+
+    total = sum(calc_tensor_memsize(p, unit) for p in jax.tree.leaves(params))
+    if show:
+        print(f"Total memory size of {label} in {unit}: {total:.4f} {unit}")
+    return total
+
+
+def show_model_info(params, show_details: bool = True):
+    """Per-leaf param table -> (total elements, total MB)
+    (nn_A0_utils.show_model_info:206-235); flax param tree instead of
+    nn.Module.named_parameters."""
+    import jax
+    import pandas as pd
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params, sep=".")
+    table = [[name, p.size, round(p.size * p.dtype.itemsize / 1024, 2)]
+             for name, p in flat.items()]
+    df = pd.DataFrame(table, columns=["Modules", "Parameters", "Mem (KB)"])
+    if show_details:
+        with pd.option_context("display.max_rows", None, "display.max_columns", None):
+            print(df)
+    total_ele = int(sum(p.size for p in jax.tree.leaves(params)))
+    total_mem = round(sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(params)) / 1024**2, 4)
+    print(f"Total Trainable : {total_ele} ele , {total_mem} MB\n")
+    return total_ele, total_mem
+
+
+def init_weights_zero(params):
+    """Zero every leaf of a param tree (nn_A0_utils.init_weights_zero:80-124;
+    module-type dispatch collapses to a tree map in JAX)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.zeros_like, params)
+
+
+def init_weights_random(params, key):
+    """Xavier-normal kernels / normal biases (nn_A0_utils.init_weights_random:
+    127-174) over a flax param tree."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(key, len(leaves))
+
+    def _init(p, k):
+        if p.ndim >= 2:  # conv/dense kernels: xavier normal
+            fan_in = int(np.prod(p.shape[:-1]))
+            fan_out = int(p.shape[-1])
+            std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+            return (jax.random.normal(k, p.shape) * std).astype(p.dtype)
+        return jax.random.normal(k, p.shape).astype(p.dtype)  # bias/scale
+
+    return jax.tree.unflatten(treedef, [_init(p, k) for p, k in zip(leaves, keys)])
+
+
+def try_device(kind: str = "tpu"):
+    """First available accelerator device, CPU fallback (the JAX analogue of
+    nn_A0_utils.try_gpu:47-73 — no polling loop: XLA owns the whole chip)."""
+    import jax
+
+    try:
+        devs = jax.devices(kind)
+        if devs:
+            return devs[0]
+    except RuntimeError:
+        pass
+    return jax.devices("cpu")[0]
+
+
 def save_jsonl(data, path: str) -> None:
     """One JSON object per line (utility/fctn.py:29-39)."""
     with open(path, "w", encoding="utf-8") as f:

@@ -300,3 +300,41 @@ def test_plot_helpers(tmp_path):
     out = tmp_path / "fig.png"
     fig.savefig(str(out))
     assert out.stat().st_size > 0
+
+
+def test_nn_a0_model_info(capsys):
+    import jax
+    import jax.numpy as jnp
+
+    from fovealseg_tpu.utils.observe import (
+        byte2mb,
+        calc_model_memsize,
+        calc_tensor_memsize,
+        init_weights_random,
+        init_weights_zero,
+        show_model_info,
+        try_device,
+    )
+
+    params = {
+        "conv": {"kernel": jnp.ones((3, 3, 4, 8), jnp.float32), "bias": jnp.zeros((8,))},
+        "dense": {"kernel": jnp.ones((8, 2), jnp.float32)},
+    }
+    assert byte2mb(1024**2) == 1.0
+    assert abs(calc_tensor_memsize(np.zeros((256, 1024), np.float32), "MB") - 1.0) < 1e-9
+    total = calc_model_memsize(params, "KB", show=False)
+    n_ele = 3 * 3 * 4 * 8 + 8 + 16
+    assert abs(total - n_ele * 4 / 1024) < 1e-6
+
+    ele, mem = show_model_info(params, show_details=True)
+    out = capsys.readouterr().out
+    assert ele == n_ele and "conv.kernel" in out and "Total Trainable" in out
+
+    z = init_weights_zero(params)
+    assert all(float(jnp.abs(p).max()) == 0.0 for p in jax.tree.leaves(z))
+    r = init_weights_random(params, jax.random.PRNGKey(0))
+    ker = r["conv"]["kernel"]
+    assert float(jnp.abs(ker).max()) > 0
+    # xavier scale: std ~ sqrt(2/(36+8)) ~ 0.21 — loose sanity band
+    assert 0.05 < float(ker.std()) < 0.5
+    assert try_device("cpu").platform == "cpu"
