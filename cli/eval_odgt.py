@@ -9,6 +9,11 @@ accuracy + per-class IoU (with the family's ignore-index handling,
 eval.py:228-252) plus warped-domain ("deformed") metrics and the optional
 ``VAL.y_sampled_reverse`` round-trip probe.
 
+``--no-deform`` instead evaluates a plain (non-foveated)
+``SegmentationModule`` — the reference's ``eval.py:main`` path
+(eval.py:509-544): per-scale softmax probabilities resized to full res and
+averaged, full-res accuracy/IoU only (no warped domain exists).
+
 Gaze policy: the legacy ODGT records carry no gaze point; the reference's
 shipped ``evaluate`` only runs on gaze-tuple datasets (eval.py:137 unpacks
 ``(X, F, Y, cls)``) and is latently broken for ValDataset inputs. Here the
@@ -41,6 +46,11 @@ def main(argv=None):
     parser.add_argument("--gpus", default="0")
     parser.add_argument("--gaze", type=float, nargs=2, default=(0.5, 0.5),
                         help="normalized (row, col) gaze for the foveation")
+    parser.add_argument("--no-deform", action="store_true",
+                        help="evaluate a plain (non-foveated) SegmentationModule "
+                             "— the reference's eval.py:main path (eval.py:509-524): "
+                             "encoder->decoder softmax probs per scale, averaged, "
+                             "full-res metrics only")
     parser.add_argument("--num-samples", type=int, default=-1)
     parser.add_argument("--object-info", default=None,
                         help="object150_info.csv-style class metadata (optional; "
@@ -106,46 +116,65 @@ def main(argv=None):
         ignore_index = cfg.DATASET.ignore_index if cfg.DATASET.ignore_index != -2 else None
 
     dc = DeformConfig.from_cfg(cfg)
-    module = DeformSegmentation(config=dc)
-    tx = create_optimizer(cfg)
-
     rec0 = ds[0]
     x0 = jnp.asarray(rec0["img_data"][0])
-    sample = {
-        "img_data": x0,
-        "focus_point": jnp.asarray([args.gaze], jnp.float32),
-    }
-    state = init_state(module, tx, jax.random.PRNGKey(cfg.TRAIN.seed), sample)
-    params, stats = state.params, state.batch_stats
+    if args.no_deform:
+        from fovealseg_tpu.models.segmentation_module import SegmentationModule
+
+        module = SegmentationModule(config=dc)
+        variables = module.init({"params": jax.random.PRNGKey(cfg.TRAIN.seed)}, x0)
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+    else:
+        module = DeformSegmentation(config=dc)
+        tx = create_optimizer(cfg)
+        sample = {
+            "img_data": x0,
+            "focus_point": jnp.asarray([args.gaze], jnp.float32),
+        }
+        state = init_state(module, tx, jax.random.PRNGKey(cfg.TRAIN.seed), sample)
+        params, stats = state.params, state.batch_stats
 
     if args.torch_ckpt:
         from fovealseg_tpu.train.checkpoint import load_torch_checkpoint
 
         params, stats = load_torch_checkpoint(args.torch_ckpt, args.torch_epoch, params, stats)
         log.info("imported torch checkpoint from %s", args.torch_ckpt)
-    elif cfg.TRAIN.start_epoch > 0 and os.path.isdir(cfg.DIR):
+    elif not args.no_deform and cfg.TRAIN.start_epoch > 0 and os.path.isdir(cfg.DIR):
         from fovealseg_tpu.train import checkpoint as ckpt
 
         restored = ckpt.load_checkpoint(cfg.DIR, cfg.TRAIN.start_epoch, state)
         params, stats = restored["params"], restored["batch_stats"]
 
-    rev_y = bool(cfg.VAL.y_sampled_reverse)
+    rev_y = bool(cfg.VAL.y_sampled_reverse) and not args.no_deform
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("seg_hw",))
-    def infer_scale(params, stats, x, f, y, seg_hw):
-        out = module.apply(
-            {"params": params, "batch_stats": stats}, x, f,
-            seg_hw=seg_hw, y=y, y_sampled_reverse=rev_y,
-            method=DeformSegmentation.infer,
-        )
-        # warped-domain label for the "deformed" metric family
-        # (eval.py:231 acc(pred_deformed, y_sampled))
-        y_s = grid_sample(y.astype(jnp.float32)[..., None], out["grid_y"], mode="nearest")[..., 0]
-        keep = {"pred_sampled": out["pred_sampled"], "pred": out["pred"], "y_sampled": y_s}
-        if rev_y:
-            keep["y_sampled_reverse"] = out["y_sampled_reverse"]
-        return keep
+    if args.no_deform:
+        from fovealseg_tpu.models.segmentation_module import SegmentationModule
+
+        @functools.partial(jax.jit, static_argnames=("seg_hw",))
+        def infer_scale(params, stats, x, f, y, seg_hw):
+            probs = module.apply(
+                {"params": params, "batch_stats": stats}, x,
+                seg_hw=seg_hw, method=SegmentationModule.infer,
+            )
+            return {"pred_sampled": probs}
+    else:
+
+        @functools.partial(jax.jit, static_argnames=("seg_hw",))
+        def infer_scale(params, stats, x, f, y, seg_hw):
+            out = module.apply(
+                {"params": params, "batch_stats": stats}, x, f,
+                seg_hw=seg_hw, y=y, y_sampled_reverse=rev_y,
+                method=DeformSegmentation.infer,
+            )
+            # warped-domain label for the "deformed" metric family
+            # (eval.py:231 acc(pred_deformed, y_sampled))
+            y_s = grid_sample(y.astype(jnp.float32)[..., None], out["grid_y"], mode="nearest")[..., 0]
+            keep = {"pred_sampled": out["pred_sampled"], "pred": out["pred"], "y_sampled": y_s}
+            if rev_y:
+                keep["y_sampled_reverse"] = out["y_sampled_reverse"]
+            return keep
 
     f = jnp.asarray([args.gaze], jnp.float32)
     # per-class label-distribution meters (reference eval.py:186-191): mean
@@ -192,18 +221,19 @@ def main(argv=None):
                  img_iou.tolist())
             )
 
-        # deformed (warped-domain) metrics from the last scale (eval.py:210,231)
-        pred_def = np.argmax(np.asarray(out["pred"], np.float32)[0], axis=-1)
-        y_samp = np.asarray(out["y_sampled"], np.int64)[0]
-        h1, _ = np.histogram(seg, bins=nc, range=(0, nc - 1))
-        h2, _ = np.histogram(y_samp, bins=nc, range=(0, nc - 1))
-        y_dist_sum += h1 / max(h1.sum(), 1)
-        y_samp_dist_sum += h2 / max(h2.sum(), 1)
-        acc_d, _ = M.accuracy(jnp.asarray(pred_def), jnp.asarray(y_samp))
-        acc_def_m += float(acc_d)
-        i2, u2 = M.intersection_and_union(jnp.asarray(pred_def), jnp.asarray(y_samp), cfg.DATASET.num_class)
-        inter_def = i2 if inter_def is None else inter_def + i2
-        union_def = u2 if union_def is None else union_def + u2
+        if not args.no_deform:
+            # deformed (warped-domain) metrics from the last scale (eval.py:210,231)
+            pred_def = np.argmax(np.asarray(out["pred"], np.float32)[0], axis=-1)
+            y_samp = np.asarray(out["y_sampled"], np.int64)[0]
+            h1, _ = np.histogram(seg, bins=nc, range=(0, nc - 1))
+            h2, _ = np.histogram(y_samp, bins=nc, range=(0, nc - 1))
+            y_dist_sum += h1 / max(h1.sum(), 1)
+            y_samp_dist_sum += h2 / max(h2.sum(), 1)
+            acc_d, _ = M.accuracy(jnp.asarray(pred_def), jnp.asarray(y_samp))
+            acc_def_m += float(acc_d)
+            i2, u2 = M.intersection_and_union(jnp.asarray(pred_def), jnp.asarray(y_samp), cfg.DATASET.num_class)
+            inter_def = i2 if inter_def is None else inter_def + i2
+            union_def = u2 if union_def is None else union_def + u2
 
         if cfg.VAL.visualize:
             # side-by-side (img | gt-color | pred-color) dump into
@@ -243,18 +273,19 @@ def main(argv=None):
     result = {
         "mean_iou": miou(inter_sum, union_sum),
         "pixel_acc": acc_m / max(n, 1),
-        "mean_iou_deformed": miou(inter_def, union_def),
-        "pixel_acc_deformed": acc_def_m / max(n, 1),
         "num_samples": n,
         "scales": list(ds.imgSizes),
     }
+    if not args.no_deform:
+        result["mean_iou_deformed"] = miou(inter_def, union_def)
+        result["pixel_acc_deformed"] = acc_def_m / max(n, 1)
     if rev_y and inter_rev is not None:
         result["y_reverse_iou"] = miou(inter_rev, union_rev)
         result["y_reverse_acc"] = acc_rev_m / max(n, 1)
     # per-class deformed-vs-original label-distribution TB scalars
     # (reference eval.py:326-331 add_scalars tag grammar, flattened to
     # add_scalar "tag/key" form); emitted when VAL.visualize is set
-    if cfg.VAL.visualize and n > 0:
+    if cfg.VAL.visualize and n > 0 and not args.no_deform:
         from fovealseg_tpu.utils.observe import SummaryWriter
 
         writer = SummaryWriter(os.path.join(cfg.DIR, "tensorboard"))

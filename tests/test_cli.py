@@ -270,3 +270,51 @@ def test_cli_eval_trimap_family(tmp_path):
     for w in (1, 2, 4):
         assert f"seg_label_Edges_dil_{w}.npy" in names, names
         assert f"masked_pred_dil_{w}.npy" in names
+
+
+@pytest.mark.slow
+def test_cli_eval_odgt_no_deform(tmp_path):
+    """--no-deform drives a plain SegmentationModule through the multi-scale
+    eval (the reference eval.py:main non-foveated path, eval.py:509-544):
+    per-scale softmax probs averaged, full-res metrics only."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "data"
+    root.mkdir()
+    img = Image.fromarray(rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8))
+    seg = Image.fromarray(rng.integers(1, 5, (64, 64)).astype(np.uint8))
+    img.save(root / "im0.png")
+    seg.save(root / "seg0.png")
+    odgt = root / "val.odgt"
+    odgt.write_text(json.dumps({"fpath_img": "im0.png", "fpath_segm": "seg0.png",
+                                "width": 64, "height": 64}))
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_tests');"
+         "import sys; sys.argv=['eval_odgt'] + sys.argv[1:];"
+         "sys.path.insert(0, %r); import importlib.util;"
+         "spec = importlib.util.spec_from_file_location('clievalodgtnd', %r);"
+         "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); m.main()"
+         % (REPO, os.path.join(REPO, "cli", "eval_odgt.py")),
+         "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/ade20k.yaml"),
+         "--no-deform",
+         *TINY_OPTS,
+         "DATASET.root_dataset", str(root),
+         "DATASET.list_val", str(odgt),
+         "DATASET.num_class", "4",
+         "DATASET.imgSizes", "(32, 48)",
+         "DATASET.imgMaxSize", "64",
+         "DATASET.padding_constant", "8",
+         "DIR", str(tmp_path / "run")],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["num_samples"] == 1 and res["scales"] == [32, 48]
+    assert 0.0 <= res["mean_iou"] <= 1.0
+    assert "mean_iou_deformed" not in res  # warped domain n/a without foveation
