@@ -5,8 +5,11 @@ manifests, per-dataset-family label mappings and normalization constants
 (BaseDataset:56-287), the ``segm_transform`` "-1 shift" (labels stored 1..C,
 ignore becomes -1 — dataset.py:278-283), TrainDataset's aspect-ratio
 sub-batching (``_get_sub_batch``:316-382) with short-edge scaling to
-``imgSizes``/``imgMaxSize`` and ``padding_constant`` rounding, random flips,
-multi-scale ValDataset (618-713), and patch-cropping TestDataset (716-808).
+``imgSizes``/``imgMaxSize`` and ``padding_constant`` rounding, the full
+``DATASET.random_flip`` augmentation family (Flip / Flip_Pixel / cityHRaug /
+balance_sample / fullFoV_balance_sample / Crop_* — dataset.py:461-561, see
+TrainDataset), multi-scale ValDataset (618-713), and patch-cropping
+TestDataset (716-808).
 
 NHWC numpy output, no torch. Images load with PIL; resizing uses PIL
 (``imresize``, dataset.py:18-28) as the reference does on the host side.
@@ -162,16 +165,20 @@ class OdgtDataset:
         x = np.asarray(img, np.float32) / 255.0
         return (x - np.asarray(self.mean, np.float32)) / np.asarray(self.std, np.float32)
 
-    def segm_transform(self, segm: np.ndarray) -> np.ndarray:
-        """apply family mapping then the 1-based -> 0-based '-1' shift
-        (ignore becomes -1; dataset.py:278-283)."""
+    def convert_label(self, segm: np.ndarray) -> np.ndarray:
+        """family mapping only, no shift (BaseDataset.convert_label)."""
         s = np.asarray(segm, np.int64)
         if self.label_mapping:
             out = np.zeros_like(s)
             for k, v in self.label_mapping.items():
                 out[s == k] = v
             s = out
-        return s - 1
+        return s
+
+    def segm_transform(self, segm: np.ndarray) -> np.ndarray:
+        """apply family mapping then the 1-based -> 0-based '-1' shift
+        (ignore becomes -1; dataset.py:278-283)."""
+        return self.convert_label(segm) - 1
 
     def _load_pair(self, rec: dict):
         from PIL import Image
@@ -196,7 +203,165 @@ class OdgtDataset:
 
 
 class TrainDataset(OdgtDataset):
-    """Aspect-ratio-grouped random batches (TrainDataset:290-561)."""
+    """Aspect-ratio-grouped random batches (TrainDataset:290-561).
+
+    ``DATASET.random_flip`` selects the augmentation family
+    (dataset.py:306,461-561). Every mode is implemented numpy-native
+    (albumentations is not shipped here); the noise/crop parameter families
+    match the albumentations defaults the reference composes, but the RNG
+    streams necessarily differ (same caveat as the b3 cooker):
+
+    - ``Flip``: horizontal flip p=0.5 (dataset.py:461-464)
+    - ``Flip_Pixel``: GaussNoise(var 10-50, p=.5) + RandomBrightnessContrast
+      (+-0.2, p=.5) + Flip(h/v/both, p=.5) (dataset.py:465-475)
+    - ``cityHRaug``: RandomScale(x1.5-3.0, p=.5) + RandomCrop(512, 1024) +
+      HorizontalFlip(p=.5) (dataset.py:476-486)
+    - ``balance_sample``: every 4th batch slot rejection-samples
+      RandomCrop(imgSizes[0], imgSizes[1]) + Flip until the last class holds
+      >25 % of pixels (dataset.py:487-502); record *selection* also scans
+      for rare-class-rich records every 4th draw (dataset.py:338-355)
+    - ``fullFoV_balance_sample``: every 4th slot resizes to the batch shape
+      then rejection-flips on the same >25 % criterion (dataset.py:503-520)
+    - ``Crop_Flip`` / ``Crop_aug_N`` / ``Crop_noaug_N``: RandomCrop to
+      (imgSizes[0], imgSizes[1]) or N x N (clamped to the image), 'aug'
+      adds brightness/contrast + multiplicative noise; + Flip
+      (dataset.py:521-561)
+    """
+
+    # -- numpy augmentation primitives ---------------------------------
+
+    @staticmethod
+    def _aug_flip(img: np.ndarray, segm: np.ndarray, rng, horizontal_only: bool = False):
+        """A.Flip semantics: one of h / v / both, p=0.5 overall."""
+        if rng.random() < 0.5:
+            return img, segm
+        mode = 1 if horizontal_only else rng.choice([-1, 0, 1])
+        if mode in (1, -1):  # horizontal
+            img, segm = img[:, ::-1], segm[:, ::-1]
+        if mode in (0, -1):  # vertical
+            img, segm = img[::-1], segm[::-1]
+        return img, segm
+
+    @staticmethod
+    def _aug_gauss_noise(img: np.ndarray, rng):
+        """A.GaussNoise defaults: var uniform in [10, 50], p=0.5."""
+        if rng.random() < 0.5:
+            return img
+        std = float(np.sqrt(rng.uniform(10.0, 50.0)))
+        noise = rng.normal(0.0, std, img.shape)
+        return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+
+    @staticmethod
+    def _aug_brightness_contrast(img: np.ndarray, rng):
+        """A.RandomBrightnessContrast defaults: limits +-0.2, p=0.5."""
+        if rng.random() < 0.5:
+            return img
+        alpha = 1.0 + rng.uniform(-0.2, 0.2)  # contrast
+        beta = rng.uniform(-0.2, 0.2) * 255.0  # brightness
+        return np.clip(img.astype(np.float32) * alpha + beta, 0, 255).astype(np.uint8)
+
+    @staticmethod
+    def _aug_mult_noise(img: np.ndarray, rng):
+        """A.MultiplicativeNoise defaults: multiplier in [0.9, 1.1], p=0.5."""
+        if rng.random() < 0.5:
+            return img
+        m = rng.uniform(0.9, 1.1)
+        return np.clip(img.astype(np.float32) * m, 0, 255).astype(np.uint8)
+
+    @staticmethod
+    def _aug_random_crop(img: np.ndarray, segm: np.ndarray, ch: int, cw: int, rng):
+        """A.RandomCrop(height, width) — clamped to the image."""
+        h, w = segm.shape[:2]
+        ch, cw = min(ch, h), min(cw, w)
+        top = rng.integers(0, h - ch + 1)
+        left = rng.integers(0, w - cw + 1)
+        return img[top:top + ch, left:left + cw], segm[top:top + ch, left:left + cw]
+
+    def _rare_ok(self, segm: np.ndarray) -> bool:
+        """The balance_sample acceptance test (dataset.py:494-501): the
+        last class holds >25 % of the label-converted (UNshifted — the
+        reference omits the -1 there) pixels."""
+        s = self.convert_label(segm)
+        hist, _ = np.histogram(s, bins=self.num_class, range=(0, self.num_class - 1))
+        total = hist.sum()
+        return bool(total > 0 and hist[-1] / total > 0.25)
+
+    def _rare_record(self, idx: int) -> bool:
+        """Record-level rare-class scan for balance_sample selection
+        (dataset.py:338-355). Memoized like _well_represented."""
+        cache = getattr(self, "_rare_cache", None)
+        if cache is None:
+            cache = self._rare_cache = {}
+        if idx not in cache:
+            from PIL import Image
+
+            rec = self.samples[idx]
+            segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
+            cache[idx] = self._rare_ok(np.asarray(segm))
+        return cache[idx]
+
+    def _augment(self, img, segm, slot: int, pyrng, target_wh):
+        """Dispatch on self.random_flip; takes/returns PIL images.
+        ``pyrng`` is the batch stream's random.Random; the numpy-based
+        modes derive a deterministic np Generator from it."""
+        from PIL import Image
+
+        mode = self.random_flip
+        if mode == "Flip":
+            if pyrng.random() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                segm = segm.transpose(Image.FLIP_LEFT_RIGHT)
+            return img, segm
+        if not mode or mode == "none":
+            return img, segm
+
+        rng = np.random.default_rng(pyrng.getrandbits(64))
+        ai, as_ = np.asarray(img), np.asarray(segm)
+        if mode == "Flip_Pixel":
+            ai = self._aug_gauss_noise(ai, rng)
+            ai = self._aug_brightness_contrast(ai, rng)
+            ai, as_ = self._aug_flip(ai, as_, rng)
+        elif mode == "cityHRaug":
+            if rng.random() < 0.5:  # A.RandomScale p=0.5; factor 1 + U(0.5, 2)
+                f = 1.0 + rng.uniform(0.5, 2.0)
+                nw, nh = int(ai.shape[1] * f), int(ai.shape[0] * f)
+                ai = np.asarray(Image.fromarray(ai).resize((nw, nh), Image.BILINEAR))
+                as_ = np.asarray(Image.fromarray(as_).resize((nw, nh), Image.NEAREST))
+            ai, as_ = self._aug_random_crop(ai, as_, 512, 1024, rng)
+            ai, as_ = self._aug_flip(ai, as_, rng, horizontal_only=True)
+        elif mode == "balance_sample":
+            if (slot + 1) % 4 == 0:
+                ch, cw = int(self.imgSizes[0]), int(self.imgSizes[1])
+                for _ in range(64):  # bounded rejection (ref loops forever)
+                    ci, cs = self._aug_random_crop(ai, as_, ch, cw, rng)
+                    ci, cs = self._aug_flip(ci, cs, rng)
+                    if self._rare_ok(cs):
+                        ai, as_ = ci, cs
+                        break
+        elif mode == "fullFoV_balance_sample":
+            if (slot + 1) % 4 == 0:
+                tw, th = target_wh
+                ai = np.asarray(Image.fromarray(ai).resize((tw, th), Image.BILINEAR))
+                as_ = np.asarray(Image.fromarray(as_).resize((tw, th), Image.NEAREST))
+                for _ in range(64):
+                    ci, cs = self._aug_flip(ai, as_, rng)
+                    if self._rare_ok(cs):
+                        ai, as_ = ci, cs
+                        break
+        elif mode.split("_")[0] == "Crop":
+            if mode == "Crop_Flip":
+                ch, cw = int(self.imgSizes[0]), int(self.imgSizes[1])
+            else:
+                n = int(mode.split("_")[-1])
+                ch = cw = n
+            ai, as_ = self._aug_random_crop(ai, as_, ch, cw, rng)
+            if mode.split("_")[1] == "aug":
+                ai = self._aug_brightness_contrast(ai, rng)
+                ai = self._aug_mult_noise(ai, rng)
+            ai, as_ = self._aug_flip(ai, as_, rng)
+        else:
+            raise ValueError(f"unknown DATASET.random_flip mode: {mode!r}")
+        return Image.fromarray(np.ascontiguousarray(ai)), Image.fromarray(np.ascontiguousarray(as_))
 
     def _well_represented(self, idx: int) -> bool:
         """DATASET.gt_gradient_rm_under_repre (dataset.py:322-335): for
@@ -226,6 +391,8 @@ class TrainDataset(OdgtDataset):
         passes the filter the remaining draws fall back to the unfiltered
         record instead of spinning (the reference would loop forever there)."""
         filter_on = self.gt_gradient_rm_under_repre > 0 and self.num_class == 2
+        balance_on = self.random_flip == "balance_sample"
+        balance_idx = 0  # the reference's balance_sam_idx (dataset.py:338-356)
         n = len(order)
         scan = 0  # persistent scan pointer (the reference's cur_idx)
         for draw in range(n):
@@ -237,6 +404,16 @@ class TrainDataset(OdgtDataset):
                         idx = cand
                         scan = (scan + tries + 1) % n
                         break
+            if balance_on and balance_idx > 2:
+                # every 4th draw, scan forward for a rare-class-rich record
+                for tries in range(n):
+                    cand = order[(scan + tries) % n]
+                    if self._rare_record(cand):
+                        idx = cand
+                        scan = (scan + tries + 1) % n
+                        break
+                balance_idx = 0
+            balance_idx += 1
             for _ in range(max(1, self.repeat_sample)):
                 yield idx
 
@@ -270,9 +447,7 @@ class TrainDataset(OdgtDataset):
         segms = np.full((len(recs), bh // r, bw // r), -1, np.int64)
         for i, (rec, (tw, th)) in enumerate(zip(recs, sizes)):
             img, segm = self._load_pair(rec)
-            if self.random_flip == "Flip" and rng.random() < 0.5:
-                img = img.transpose(Image.FLIP_LEFT_RIGHT)
-                segm = segm.transpose(Image.FLIP_LEFT_RIGHT)
+            img, segm = self._augment(img, segm, i, rng, (tw, th))
             img = img.resize((tw, th), Image.BILINEAR)
             segm = segm.resize((tw, th), Image.NEAREST)
             imgs[i, :th, :tw] = self.img_transform(np.asarray(img))

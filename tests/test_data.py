@@ -488,3 +488,78 @@ def test_lvis_marker_subdir(tmp_path, rng):
     assert len(ds) == 1
     # a marker with no subdirectory falls back to the flat dir (empty here)
     assert len(DatasetLVIS(str(cook_dir), canvas=128, marker="nope")) == 0
+
+
+def test_odgt_augmentation_family(tmp_path, rng):
+    """The full DATASET.random_flip augmentation family (dataset.py:461-561):
+    every mode produces valid batches; crop modes change the pre-resize
+    geometry; pixel modes perturb intensities; unknown modes raise."""
+    import random as _random
+
+    from PIL import Image
+
+    root = tmp_path
+    recs = []
+    for i in range(4):
+        img = Image.fromarray(rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8))
+        # labels 1..3 only: no record is "rare-class rich" (class 4 absent)
+        seg = Image.fromarray(rng.integers(1, 4, (64, 64)).astype(np.uint8))
+        img.save(root / f"im{i}.png")
+        seg.save(root / f"seg{i}.png")
+        recs.append({"fpath_img": f"im{i}.png", "fpath_segm": f"seg{i}.png",
+                     "width": 64, "height": 64})
+    odgt = root / "train.odgt"
+    odgt.write_text("\n".join(json.dumps(r) for r in recs))
+
+    def make(mode, **kw):
+        return TrainDataset(str(root), str(odgt), list_train="ADE_train",
+                            num_class=5, imgSizes=(32, 48), imgMaxSize=64,
+                            padding_constant=8, segm_downsampling_rate=1,
+                            random_flip=mode, **kw)
+
+    for mode in ("Flip", "Flip_Pixel", "cityHRaug", "balance_sample",
+                 "fullFoV_balance_sample", "Crop_Flip", "Crop_aug_16",
+                 "Crop_noaug_16", "none"):
+        ds = make(mode)
+        b = next(iter(ds.batches(2, seed=3)))
+        assert b["img_data"].ndim == 4 and b["img_data"].shape[0] == 2, mode
+        assert b["seg_label"].min() >= -1 and b["seg_label"].max() <= 3, mode
+
+    # Crop_noaug_16: the pre-resize crop is 16x16 (geometry check on _augment)
+    ds = make("Crop_noaug_16")
+    img, segm = ds._load_pair(ds.samples[0])
+    ai, as_ = ds._augment(img, segm, 0, _random.Random(0), (32, 32))
+    assert ai.size == (16, 16) and as_.size == (16, 16)
+
+    # Flip_Pixel perturbs intensities with probability ~1 over many draws
+    ds = make("Flip_Pixel")
+    r = _random.Random(0)
+    changed = False
+    base = np.asarray(img, np.float32)
+    for _ in range(8):
+        ai, _s = ds._augment(img, segm, 0, r, (64, 64))
+        out = np.asarray(ai, np.float32)
+        if out.shape != base.shape or not np.array_equal(out, base):
+            changed = True
+            break
+    assert changed, "Flip_Pixel never perturbed the image"
+
+    # balance_sample: slot 3 (i+1 % 4 == 0) crops to imgSizes and the
+    # accepted crop satisfies the >25% last-class rule when possible
+    seg_rare = Image.fromarray(np.full((64, 64), 4, np.uint8))  # all last class
+    ds = make("balance_sample")
+    ai, as_ = ds._augment(img, seg_rare, 3, _random.Random(0), (32, 32))
+    assert as_.size == (48, 32)  # (w, h) = (imgSizes[1], imgSizes[0])
+    assert ds._rare_ok(np.asarray(as_))
+
+    # record-selection scan: every 4th draw jumps to a rare-class record
+    seg_rare.save(root / "seg2.png")  # make record 2 rare-rich
+    ds = make("balance_sample")
+    order = list(range(4))
+    stream = list(ds._sample_stream(order, _random.Random(0)))
+    assert stream[3] == 2, stream  # 4th draw redirected to the rare record
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make("bogus_mode")._augment(img, segm, 0, _random.Random(0), (32, 32))
