@@ -496,20 +496,66 @@ class ValDataset(OdgtDataset):
 
 
 class TestDataset(OdgtDataset):
-    """Label-free test records (TestDataset:716-808)."""
+    """Label-free patch-cropping test records (TestDataset:716-808).
 
-    def __getitem__(self, idx: int) -> dict:
+    Tiles the image into ``patch_size`` x ``patch_size`` crops (grid walk
+    with edge clamping, dataset.py:724-768 — the reference's inclusive
+    iteration bounds produce duplicate edge crops for exactly-divisible
+    sizes; kept for parity), builds the multi-scale pyramid per crop, and
+    returns ``(crop_outputs, coordinate_list, ori_size)``. ``patch_size``
+    follows the reference grammar: parsed from a ``train268_<N>_`` token in
+    ``list_train`` for gleason2019, else 5000.
+
+    Deviation: images load as RGB; the reference loads with cv2 (BGR) and
+    never swaps channels before its RGB-calibrated normalization
+    (dataset.py:737,777) — an upstream bug not reproduced.
+    """
+
+    def _patch_size(self) -> int:
+        if "gleason2019" in (self.list_train or ""):
+            return int(self.list_train.split("train268_")[1].split("_")[0])
+        return 5000
+
+    @staticmethod
+    def _tile_starts(size: int, patch: int) -> list[int]:
+        """Reference grid walk for one axis (dataset.py:739-758)."""
+        n = size // patch  # overlap = 0
+        starts = []
+        for i in range(n + 1):
+            if i == 0 or size < patch:
+                starts.append(0)
+            elif i == n:
+                starts.append(size - patch)
+            else:
+                starts.append(i * patch)
+        return starts
+
+    def __getitem__(self, idx: int):
         from PIL import Image
 
         rec = self.samples[idx]
         img = Image.open(os.path.join(self.root_dataset, rec["fpath_img"])).convert("RGB")
-        w, h = img.size
-        img_list = []
-        for short in (self.imgSizes if isinstance(self.imgSizes, (list, tuple)) else [self.imgSizes]):
-            tw, th = self._scaled_size(w, h, short)
-            img_list.append(self.img_transform(np.asarray(img.resize((tw, th), Image.BILINEAR)))[None])
-        return {
-            "img_ori": np.asarray(img, np.float32) / 255.0,
-            "img_data": img_list,
-            "info": rec.get("fpath_img", str(idx)),
-        }
+        arr = np.asarray(img)
+        h, w = arr.shape[:2]
+        patch = self._patch_size()
+        px, py = min(patch, w), min(patch, h)
+        sizes = self.imgSizes if isinstance(self.imgSizes, (list, tuple)) else [self.imgSizes]
+
+        crop_outputs = []
+        coordinate_list = []
+        for cx in self._tile_starts(w, patch):
+            for cy in self._tile_starts(h, patch):
+                coordinate_list.append([cx, cy])
+                crop = arr[cy:cy + py, cx:cx + px]
+                ch, cw = crop.shape[:2]
+                img_list = []
+                for short in sizes:
+                    tw, th = self._scaled_size(cw, ch, short)
+                    scaled = Image.fromarray(crop).resize((tw, th), Image.BILINEAR)
+                    img_list.append(self.img_transform(np.asarray(scaled))[None])
+                crop_outputs.append({
+                    "img_ori": crop.copy(),
+                    "img_data": img_list,
+                    "info": rec.get("fpath_img", str(idx)),
+                })
+        return crop_outputs, coordinate_list, (w, h)

@@ -563,3 +563,38 @@ def test_odgt_augmentation_family(tmp_path, rng):
 
     with _pytest.raises(ValueError):
         make("bogus_mode")._augment(img, segm, 0, _random.Random(0), (32, 32))
+
+
+def test_odgt_test_dataset_patch_crops(tmp_path, rng):
+    """TestDataset tiles into patch_size crops with edge clamping and a
+    per-crop multi-scale pyramid (dataset.py:716-808)."""
+    from PIL import Image
+
+    from fovealseg_tpu.data.odgt import TestDataset
+
+    img = Image.fromarray(rng.uniform(0, 255, (70, 130, 3)).astype(np.uint8))
+    img.save(tmp_path / "im.png")
+    odgt = tmp_path / "test.odgt"
+    odgt.write_text(json.dumps({"fpath_img": "im.png", "width": 130, "height": 70}))
+
+    # patch_size from the gleason list_train grammar
+    ds = TestDataset(str(tmp_path), str(odgt),
+                     list_train="gleason2019_train268_64_foo",
+                     imgSizes=(32,), imgMaxSize=64, padding_constant=8,
+                     segm_downsampling_rate=1)
+    assert ds._patch_size() == 64
+    crops, coords, ori = ds[0]
+    assert ori == (130, 70)
+    # x axis: 130//64=2 -> starts [0, 64, 66]; y axis: 70//64=1 -> [0, 6]
+    assert coords == [[x, y] for x in (0, 64, 66) for y in (0, 6)]
+    assert len(crops) == 6
+    for c in crops:
+        assert c["img_ori"].shape == (64, 64, 3)
+        assert c["img_data"][0].ndim == 4  # [1, th, tw, 3] pyramid level
+        assert c["info"] == "im.png"
+
+    # default patch 5000 > image: single whole-image crop
+    ds2 = TestDataset(str(tmp_path), str(odgt), list_train="ADE_train",
+                      imgSizes=(32,), imgMaxSize=64, padding_constant=8)
+    crops2, coords2, _ = ds2[0]
+    assert coords2 == [[0, 0]] and crops2[0]["img_ori"].shape == (70, 130, 3)
