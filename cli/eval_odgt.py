@@ -135,16 +135,40 @@ def main(argv=None):
         state = init_state(module, tx, jax.random.PRNGKey(cfg.TRAIN.seed), sample)
         params, stats = state.params, state.batch_stats
 
+    weight_keys = {
+        "encoder": cfg.MODEL.weights_encoder,
+        "decoder": cfg.MODEL.weights_decoder,
+    }
+    if not args.no_deform:
+        weight_keys["saliency"] = cfg.MODEL.weights_net_saliency
+        weight_keys["compress"] = cfg.MODEL.weights_net_compress
     if args.torch_ckpt:
         from fovealseg_tpu.train.checkpoint import load_torch_checkpoint
 
         params, stats = load_torch_checkpoint(args.torch_ckpt, args.torch_epoch, params, stats)
         log.info("imported torch checkpoint from %s", args.torch_ckpt)
+    elif any(weight_keys.values()):
+        # the reference eval.py:main loads MODEL.weights_{encoder,decoder}
+        # and asserts they exist (eval.py:513-521, 584-589)
+        from fovealseg_tpu.train.checkpoint import load_torch_weight_files
+
+        for kind, path in weight_keys.items():
+            if path and not os.path.exists(path):
+                raise FileNotFoundError(f"MODEL.weights_{kind} not found: {path}")
+        params, stats = load_torch_weight_files(weight_keys, params, stats)
+        log.info("loaded MODEL.weights_* files: %s",
+                 {k: v for k, v in weight_keys.items() if v})
     elif not args.no_deform and cfg.TRAIN.start_epoch > 0 and os.path.isdir(cfg.DIR):
         from fovealseg_tpu.train import checkpoint as ckpt
 
         restored = ckpt.load_checkpoint(cfg.DIR, cfg.TRAIN.start_epoch, state)
         params, stats = restored["params"], restored["batch_stats"]
+    else:
+        log.warning(
+            "no weights loaded (no --torch-ckpt, no MODEL.weights_*, no "
+            "resumable checkpoint) — evaluating RANDOMLY INITIALIZED weights; "
+            "metrics are only meaningful for smoke tests"
+        )
 
     rev_y = bool(cfg.VAL.y_sampled_reverse) and not args.no_deform
     import functools

@@ -219,7 +219,8 @@ class TrainDataset(OdgtDataset):
     - ``balance_sample``: every 4th batch slot rejection-samples
       RandomCrop(imgSizes[0], imgSizes[1]) + Flip until the last class holds
       >25 % of pixels (dataset.py:487-502); record *selection* also scans
-      for rare-class-rich records every 4th draw (dataset.py:338-355)
+      for rare-class-rich records every 3rd draw after the first three
+      (balance_sam_idx > 2, dataset.py:338-355)
     - ``fullFoV_balance_sample``: every 4th slot resizes to the batch shape
       then rejection-flips on the same >25 % criterion (dataset.py:503-520)
     - ``Crop_Flip`` / ``Crop_aug_N`` / ``Crop_noaug_N``: RandomCrop to
@@ -343,24 +344,37 @@ class TrainDataset(OdgtDataset):
                 tw, th = target_wh
                 ai = np.asarray(Image.fromarray(ai).resize((tw, th), Image.BILINEAR))
                 as_ = np.asarray(Image.fromarray(as_).resize((tw, th), Image.NEAREST))
-                for _ in range(64):
-                    ci, cs = self._aug_flip(ai, as_, rng)
-                    if self._rare_ok(cs):
-                        ai, as_ = ci, cs
-                        break
+                # the acceptance test is a class histogram — flip-invariant —
+                # so one check decides (the reference's rejection loop over
+                # identity-crop+flip can never change the verdict,
+                # dataset.py:503-520, and spins forever on a miss)
+                if self._rare_ok(as_):
+                    ai, as_ = self._aug_flip(ai, as_, rng)
         elif mode.split("_")[0] == "Crop":
+            do_crop = True
             if mode == "Crop_Flip":
                 ch, cw = int(self.imgSizes[0]), int(self.imgSizes[1])
             else:
                 n = int(mode.split("_")[-1])
                 ch = cw = n
-            ai, as_ = self._aug_random_crop(ai, as_, ch, cw, rng)
+                # reference fallback (dataset.py:528-532): when either
+                # dimension is smaller than N the whole image is used uncropped
+                if as_.shape[0] < n or as_.shape[1] < n:
+                    do_crop = False
+            if do_crop:
+                ai, as_ = self._aug_random_crop(ai, as_, ch, cw, rng)
             if mode.split("_")[1] == "aug":
                 ai = self._aug_brightness_contrast(ai, rng)
                 ai = self._aug_mult_noise(ai, rng)
             ai, as_ = self._aug_flip(ai, as_, rng)
         else:
-            raise ValueError(f"unknown DATASET.random_flip mode: {mode!r}")
+            # the reference's if/elif chain has no else: unknown modes train
+            # unaugmented (dataset.py:461-561) — warn loudly, then match it
+            import warnings
+
+            warnings.warn(
+                f"unknown DATASET.random_flip mode {mode!r}: no augmentation "
+                "applied (reference behavior)", stacklevel=2)
         return Image.fromarray(np.ascontiguousarray(ai)), Image.fromarray(np.ascontiguousarray(as_))
 
     def _well_represented(self, idx: int) -> bool:
@@ -405,12 +419,18 @@ class TrainDataset(OdgtDataset):
                         scan = (scan + tries + 1) % n
                         break
             if balance_on and balance_idx > 2:
-                # every 4th draw, scan forward for a rare-class-rich record
+                # every 3rd draw after the first three (balance_sam_idx > 2,
+                # reset-then-increment — the reference's own comment says
+                # "every 3 steps", dataset.py:338-340), scan forward FROM THE
+                # CURRENT DRAW POSITION (the reference scans from cur_idx,
+                # dataset.py:342) for a rare-class-rich record. Deviation:
+                # the reference also advances its main pointer past the found
+                # record (skipping the records in between); here the epoch
+                # still visits every record once — bounded-epoch semantics.
                 for tries in range(n):
-                    cand = order[(scan + tries) % n]
+                    cand = order[(draw + tries) % n]
                     if self._rare_record(cand):
                         idx = cand
-                        scan = (scan + tries + 1) % n
                         break
                 balance_idx = 0
             balance_idx += 1

@@ -211,23 +211,36 @@ def init_weights_zero(params):
 
 
 def init_weights_random(params, key):
-    """Xavier-normal kernels / normal biases (nn_A0_utils.init_weights_random:
-    127-174) over a flax param tree."""
+    """torch-semantics re-init over a flax param tree
+    (nn_A0_utils.init_weights_random:127-174): conv/dense kernels get
+    xavier_normal_ (torch fans include the receptive field: fan_in =
+    in*kh*kw, fan_out = out*kh*kw), BatchNorm scales N(1, 0.02), biases 0,
+    everything else N(0, 1)."""
     import jax
     import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
 
-    leaves, treedef = jax.tree.flatten(params)
-    keys = jax.random.split(key, len(leaves))
+    flat = flatten_dict(params)
+    keys = jax.random.split(key, max(len(flat), 1))
 
-    def _init(p, k):
-        if p.ndim >= 2:  # conv/dense kernels: xavier normal
-            fan_in = int(np.prod(p.shape[:-1]))
-            fan_out = int(p.shape[-1])
+    def _init(path, p, k):
+        name = path[-1]
+        if name == "scale":  # BN weight: normal_(1.0, 0.02)
+            return (1.0 + 0.02 * jax.random.normal(k, p.shape)).astype(p.dtype)
+        if name == "bias":  # constant 0 (conv bias normal_ upstream only
+            # when present; flax BN/conv biases default together — zeros is
+            # the BN-safe choice the reference takes for every norm layer)
+            return jnp.zeros_like(p)
+        if p.ndim >= 2:  # conv [kh, kw, in, out] / dense [in, out] kernels
+            rf = int(np.prod(p.shape[:-2])) if p.ndim > 2 else 1
+            fan_in = int(p.shape[-2]) * rf
+            fan_out = int(p.shape[-1]) * rf
             std = float(np.sqrt(2.0 / (fan_in + fan_out)))
             return (jax.random.normal(k, p.shape) * std).astype(p.dtype)
-        return jax.random.normal(k, p.shape).astype(p.dtype)  # bias/scale
+        return jax.random.normal(k, p.shape).astype(p.dtype)
 
-    return jax.tree.unflatten(treedef, [_init(p, k) for p, k in zip(leaves, keys)])
+    out = {path: _init(path, p, k) for (path, p), k in zip(flat.items(), keys)}
+    return unflatten_dict(out)
 
 
 def try_device(kind: str = "tpu"):

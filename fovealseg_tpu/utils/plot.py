@@ -58,7 +58,12 @@ def plt_multi_imgshow(imgs: list, titles: list | None = None,
     for i, (img, title) in enumerate(zip(imgs, titles)):
         if img is not None:
             axes[i].set_visible(True)
-            plt_imgshow(img, title, axes[i])
+            cax = plt_imgshow(img, title, axes[i])
+            arr = np.asarray(img)
+            # per-cell colorbar for single-channel images, like the
+            # reference's grid loop (plot_tools.py:81-84)
+            if arr.ndim == 2 or (arr.ndim == 3 and 1 in (arr.shape[0], arr.shape[2])):
+                fig.colorbar(cax, ax=axes[i])
     fig.tight_layout()
     return fig
 

@@ -318,3 +318,6 @@ def test_cli_eval_odgt_no_deform(tmp_path):
     assert res["num_samples"] == 1 and res["scales"] == [32, 48]
     assert 0.0 <= res["mean_iou"] <= 1.0
     assert "mean_iou_deformed" not in res  # warped domain n/a without foveation
+    # no weights were supplied: the driver must say so loudly (the reference
+    # asserts trained weights exist, eval.py:584-589)
+    assert "RANDOMLY INITIALIZED" in out.stderr

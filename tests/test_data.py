@@ -559,10 +559,20 @@ def test_odgt_augmentation_family(tmp_path, rng):
     stream = list(ds._sample_stream(order, _random.Random(0)))
     assert stream[3] == 2, stream  # 4th draw redirected to the rare record
 
-    import pytest as _pytest
+    # unknown modes warn loudly, then train unaugmented (the reference's
+    # if/elif chain has no else)
+    import warnings as _warnings
 
-    with _pytest.raises(ValueError):
-        make("bogus_mode")._augment(img, segm, 0, _random.Random(0), (32, 32))
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        ai, as_ = make("bogus_mode")._augment(img, segm, 0, _random.Random(0), (32, 32))
+    assert any("bogus_mode" in str(w.message) for w in rec)
+    assert ai.size == img.size
+
+    # Crop_noaug_N with N bigger than either dim: whole image, uncropped
+    # (reference fallback dataset.py:528-532)
+    ai, as_ = make("Crop_noaug_128")._augment(img, segm, 0, _random.Random(0), (32, 32))
+    assert ai.size == img.size
 
 
 def test_odgt_test_dataset_patch_crops(tmp_path, rng):

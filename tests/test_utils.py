@@ -332,9 +332,14 @@ def test_nn_a0_model_info(capsys):
 
     z = init_weights_zero(params)
     assert all(float(jnp.abs(p).max()) == 0.0 for p in jax.tree.leaves(z))
+    params["bn"] = {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))}
     r = init_weights_random(params, jax.random.PRNGKey(0))
     ker = r["conv"]["kernel"]
-    assert float(jnp.abs(ker).max()) > 0
-    # xavier scale: std ~ sqrt(2/(36+8)) ~ 0.21 — loose sanity band
-    assert 0.05 < float(ker.std()) < 0.5
+    # torch xavier_normal_ fans include the receptive field:
+    # std = sqrt(2 / (4*9 + 8*9)) ~ 0.136
+    assert abs(float(ker.std()) - 0.136) < 0.05
+    assert float(jnp.abs(r["conv"]["bias"]).max()) == 0.0  # biases zeroed
+    # BN scale ~ N(1, 0.02)
+    assert abs(float(r["bn"]["scale"].mean()) - 1.0) < 0.05
+    assert float(r["bn"]["scale"].std()) < 0.1
     assert try_device("cpu").platform == "cpu"
