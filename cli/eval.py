@@ -127,6 +127,12 @@ def main(argv=None):
 
         restored = ckpt.load_checkpoint(cfg.DIR, cfg.TRAIN.start_epoch, state)
         params, stats = restored["params"], restored["batch_stats"]
+    else:
+        log.warning(
+            "no weights loaded (no --torch-ckpt, no MODEL.weights_*, no "
+            "resumable checkpoint) — evaluating RANDOMLY INITIALIZED weights; "
+            "metrics are only meaningful for smoke tests"
+        )
 
     rev_y = bool(cfg.VAL.y_sampled_reverse)
     rev_x = bool(cfg.VAL.x_sampled_reverse)
