@@ -15,6 +15,12 @@ Load + serve:
   from jax import export
   fn = export.deserialize(open("model.stablehlo", "rb").read()).call
   masks = fn(images_f32_BHW3, gaze_B2)   # -> int32 [B, H, W] class ids
+
+Migration-back path: ``--format torch --out DIR`` instead writes the
+reference's 4-file checkpoint surface
+(``{saliency,compress,encoder,decoder}_epoch_{N|last}.pth``,
+/root/reference/train_deform_semantic.py:166-208) so weights trained here can
+be evaluated or fine-tuned by the reference's own drivers.
 """
 
 from __future__ import annotations
@@ -34,6 +40,11 @@ def main(argv=None):
     parser.add_argument("--canvas", type=int, default=640)
     parser.add_argument("--scores", action="store_true",
                         help="export the full-score pred_sampled instead of argmax labels")
+    parser.add_argument("--format", choices=["stablehlo", "torch"], default="stablehlo",
+                        help="'torch' writes the reference's 4-file .pth checkpoint "
+                             "({saliency,compress,encoder,decoder}_epoch_*.pth) into "
+                             "the --out directory so the reference's own drivers can "
+                             "consume weights trained here")
     parser.add_argument("--torch-ckpt", default=None)
     parser.add_argument("--torch-epoch", default="last")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
@@ -75,6 +86,15 @@ def main(argv=None):
                            {"img_data": x0, "focus_point": f0})
         restored = ckpt.load_checkpoint(cfg.DIR, cfg.TRAIN.start_epoch, state)
         params, stats = restored["params"], restored["batch_stats"]
+
+    if args.format == "torch":
+        from fovealseg_tpu.train.checkpoint import save_torch_checkpoint
+
+        tag = cfg.TRAIN.start_epoch if cfg.TRAIN.start_epoch > 0 else "last"
+        written = save_torch_checkpoint(args.out, tag, params, stats)
+        print(f"wrote {len(written)} reference-format .pth files under {args.out} "
+              f"(epoch tag {tag} + _last mirrors)")
+        return
 
     out_key = "pred_sampled" if args.scores else "pred_label"
 

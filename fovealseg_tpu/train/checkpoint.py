@@ -162,6 +162,85 @@ def import_torch_state_dict(
     return new_params, new_stats
 
 
+_FILE_FROM_SUBTREE = {v: k for k, v in _SUBTREE_FROM_FILE.items()}
+
+
+def export_torch_state_dict(
+    params: dict, batch_stats: dict
+) -> dict[str, dict[str, "np.ndarray"]]:
+    """Inverse of :func:`import_torch_state_dict`: flax (params, batch_stats)
+    → ``{'encoder'|'decoder'|'saliency'|'compress': {torch_key: ndarray}}``.
+
+    Layout transforms mirror the import shim exactly (conv HWIO→OIHW, linear
+    kernel transpose, BN scale→weight, mean/var→running_mean/running_var), so
+    weights trained here load into the reference's ModelBuilder
+    (/root/reference/models/models.py:1174-1230) and the round trip through
+    ``load_torch_weight_files`` is bit-exact. Each BN module additionally gets
+    a ``num_batches_tracked=0`` buffer — present in every torch BN
+    state_dict; the reference loads with strict=False so the value is inert.
+
+    Subtrees outside the 4-file surface are ignored (there are none in
+    ``DeformSegmentation``; this keeps the export total like the import).
+    """
+    out: dict[str, dict[str, np.ndarray]] = {k: {} for k in _SUBTREE_FROM_FILE}
+
+    def _np(arr):
+        arr = np.asarray(jax.device_get(arr))
+        # params are kept f32 here; any low-precision leaf widens to the
+        # reference's f32 checkpoint dtype
+        return arr.astype(np.float32) if np.issubdtype(arr.dtype, np.floating) else arr
+
+    for path, arr in _flatten(params).items():
+        kind = _FILE_FROM_SUBTREE.get(path[0])
+        if kind is None:
+            continue
+        mod, leaf = ".".join(path[1:-1]), path[-1]
+        arr = _np(arr)
+        if leaf == "kernel" and arr.ndim == 4:
+            key, val = "weight", arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif leaf == "kernel" and arr.ndim == 2:
+            key, val = "weight", arr.T
+        elif leaf == "scale":
+            key, val = "weight", arr  # BN/affine 1-D
+        elif leaf == "bias":
+            key, val = "bias", arr
+        else:
+            continue
+        out[kind][f"{mod}.{key}" if mod else key] = val
+    for path, arr in _flatten(batch_stats).items():
+        kind = _FILE_FROM_SUBTREE.get(path[0])
+        if kind is None:
+            continue
+        mod, leaf = ".".join(path[1:-1]), path[-1]
+        if leaf not in ("mean", "var"):
+            continue
+        out[kind][f"{mod}.running_{leaf}"] = _np(arr)
+        out[kind].setdefault(f"{mod}.num_batches_tracked", np.asarray(0, np.int64))
+    return {k: v for k, v in out.items() if v}
+
+
+def save_torch_checkpoint(
+    ckpt_dir: str, epoch, params: dict, batch_stats: dict, also_last: bool = True
+) -> list[str]:
+    """Write the reference's 4-file checkpoint surface —
+    ``{saliency,compress,encoder,decoder}_epoch_{N}.pth`` (+ ``_last`` copies
+    when ``also_last``, matching train_deform_semantic.py:166-208) — from a
+    flax state, so a model trained here can be evaluated/resumed by the
+    reference's own drivers. Returns the written paths. Requires torch."""
+    import torch
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    written = []
+    for kind, sd in export_torch_state_dict(params, batch_stats).items():
+        tsd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+        for tag in ([epoch, "last"] if also_last else [epoch]):
+            path = os.path.join(ckpt_dir, f"{kind}_epoch_{tag}.pth")
+            torch.save(tsd, path)
+            written.append(path)
+    return written
+
+
 def load_torch_checkpoint(ckpt_dir: str, epoch, params: dict, batch_stats: dict):
     """Load the reference's 4 .pth files for one epoch (requires torch)."""
     return load_torch_weight_files(

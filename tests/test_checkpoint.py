@@ -73,3 +73,53 @@ def test_checkpoint_only_last_writes_no_numbered_dir(tiny, tmp_path):
     assert not any(e.startswith("epoch_7") for e in entries), entries
     restored = ckpt.load_checkpoint(d, "last", state)
     assert int(restored["step"]) == int(state.step)
+
+
+def test_torch_export_roundtrip(tiny, tmp_path):
+    # save_torch_checkpoint writes the reference's 4-file surface and the
+    # import shim recovers the exact flax state (bit-exact inverse pair)
+    import os
+
+    _, module, tx, batch, state = tiny
+    d = str(tmp_path / "torch_export")
+    paths = ckpt.save_torch_checkpoint(d, 7, state.params, state.batch_stats)
+    names = {os.path.basename(p) for p in paths}
+    for kind in ("encoder", "decoder", "saliency", "compress"):
+        assert f"{kind}_epoch_7.pth" in names, names
+        assert f"{kind}_epoch_last.pth" in names, names
+    zero_p = jax.tree.map(jnp.zeros_like, state.params)
+    zero_s = jax.tree.map(jnp.zeros_like, state.batch_stats)
+    p2, s2 = ckpt.load_torch_checkpoint(d, 7, zero_p, zero_s)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s2), jax.tree.leaves(state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_export_strict_into_reference_fovsim():
+    # the exported saliency .pth loads into the reference's own FovSimModule
+    # with no unexpected keys (missing = SyncBN thread-pipe internals only)
+    # and reproduces our forward exactly — the migration-back guarantee
+    torch = pytest.importorskip("torch")
+    from tests.ref_oracle import load_ref_module
+
+    sal = load_ref_module("saliency_network.py", "ref_saliency")
+    tm = sal.FovSimModule(cfg=None, in_channels=5, out_channels=24).eval()
+    from fovealseg_tpu.models.saliency import FovSimModule
+
+    fm = FovSimModule()
+    x = np.random.default_rng(3).standard_normal((2, 12, 12, 5)).astype(np.float32)
+    variables = fm.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    sds = ckpt.export_torch_state_dict(
+        {"localization": variables["params"]},
+        {"localization": variables.get("batch_stats", {})},
+    )
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sds["saliency"].items()}
+    res = tm.load_state_dict(sd, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    internals = ("_tmp_running_mean", "_tmp_running_var", "_running_iter")
+    assert all(k.endswith(internals) for k in res.missing_keys), res.missing_keys
+    ours = np.asarray(fm.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)

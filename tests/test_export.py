@@ -57,3 +57,30 @@ def test_export_roundtrip_matches_live_module(tmp_path, rng):
         variables, x, f, argmax_labels=True, method=DeformSegmentation.infer
     )["pred_label"]
     np.testing.assert_array_equal(masks, np.asarray(live))
+
+
+def test_export_torch_format_loads_back(tmp_path):
+    # --format torch writes the reference 4-file surface; the import shim
+    # reads it back (CLI-level round trip of the migration-back path)
+    spec = importlib.util.spec_from_file_location(
+        "cli_export_torch", os.path.join(REPO, "cli", "export.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = tmp_path / "torch_ckpt"
+    m.main([
+        "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
+        "--out", str(out), "--format", "torch", "--batch", "1", "--canvas", "48",
+        "TRAIN.task_input_size", "(12,12)",
+        "TRAIN.saliency_input_size", "(12,12)",
+        "MODEL.arch_encoder", "hrnetv2_nodownsp_tiny",
+        "MODEL.gaussian_radius", "5", "TPU.compute_dtype", "float32",
+    ])
+    files = sorted(os.listdir(out))
+    for kind in ("encoder", "decoder", "saliency", "compress"):
+        assert f"{kind}_epoch_last.pth" in files, files
+    import torch
+
+    sd = torch.load(out / "encoder_epoch_last.pth", map_location="cpu",
+                    weights_only=True)
+    assert any(k.endswith(".weight") for k in sd)
