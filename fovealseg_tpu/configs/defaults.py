@@ -228,6 +228,10 @@ def get_default_cfg() -> CfgNode:
     # convs are lane-limited either way and stay bf16 (measured table in
     # models/layers.py). Inference-only: honored by cli/eval and cli/infer;
     # training always runs the TPU.compute_dtype path.
+    _C.TPU.torch_ckpt_mirror = False  # also write the reference's 4-file
+    # {saliency,compress,encoder,decoder}_epoch_{N|last}.pth checkpoint set
+    # (train_deform_semantic.py:166-208) beside the orbax dirs on the same
+    # cadence, so reference-side tooling can consume checkpoints live.
     _C.TPU.dropout_rng_impl = "rbg"  # PRNG for the per-step dropout streams.
     # HRNet carries Dropout(0.3) after every conv (reference lines 44-56), so
     # mask generation is on the critical path: threefry costs ~106 ms of the

@@ -251,12 +251,25 @@ def fit(
             if cfg.TRAIN.save_checkpoint and (
                 epoch % cfg.TRAIN.checkpoint_per_epoch == 0 or epoch == cfg.TRAIN.num_epoch
             ):
-                ckpt.save_checkpoint(ckpt_dir, epoch, jax.device_get(state))
+                host_state = jax.device_get(state)
+                ckpt.save_checkpoint(ckpt_dir, epoch, host_state)
+                if cfg.TPU.torch_ckpt_mirror:
+                    # reference-format .pth mirror on the same cadence, so
+                    # reference-side tooling can consume checkpoints live
+                    ckpt.save_torch_checkpoint(
+                        ckpt_dir, epoch, host_state.params, host_state.batch_stats
+                    )
             elif cfg.TRAIN.save_checkpoint:
                 # off-cadence: refresh only epoch_last (reference keeps only
                 # the *_last copies between cadence epochs,
                 # train_deform_semantic.py:166-208)
-                ckpt.save_checkpoint(ckpt_dir, epoch, jax.device_get(state), only_last=True)
+                host_state = jax.device_get(state)
+                ckpt.save_checkpoint(ckpt_dir, epoch, host_state, only_last=True)
+                if cfg.TPU.torch_ckpt_mirror:
+                    ckpt.save_torch_checkpoint(
+                        ckpt_dir, "last", host_state.params, host_state.batch_stats,
+                        also_last=False,
+                    )
         if epoch % cfg.TRAIN.eval_per_epoch == 0 or cfg.TRAIN.skip_train_for_eval:
             mets = evaluate_1epoch(eval_step, state, val_loader())
             log.info("epoch %d eval: %s", epoch, json.dumps(mets))

@@ -40,12 +40,16 @@ def test_cli_train_smoke(tmp_path):
          "--cfg", os.path.join(REPO, "fovealseg_tpu/configs/deform.yaml"),
          *TINY_OPTS,
          "TRAIN.num_epoch", "1", "TRAIN.epoch_iters", "2",
+         "TPU.torch_ckpt_mirror", "True",
          "DIR", str(tmp_path / "run")],
         capture_output=True, text=True, env=_env(), cwd=REPO, timeout=1200,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert (tmp_path / "run" / "eval_history.csv").exists()
     assert (tmp_path / "run" / "epoch_last").exists()
+    # TPU.torch_ckpt_mirror: reference-format .pth set beside the orbax dirs
+    for kind in ("encoder", "decoder", "saliency", "compress"):
+        assert (tmp_path / "run" / f"{kind}_epoch_last.pth").exists()
 
 
 @pytest.mark.slow
