@@ -18,6 +18,28 @@ LR_MULT_SCALE (seg-group LR multiplier scale, default 10 -- 3 was the
 measured sweet spot for the 10-class demo), LR_MULT_SCALE_ZOOM (foveation
 branch, default 1: 10x measured a collapse to all-background).
 Prints per-chunk: step, mean train loss, held-out full-res fg IoU, pixel acc.
+
+STAGED=1 drives the reference's published staged recipe (the state machine
+at train_deform_semantic.py:82-123, 260-350 the README's 150-epoch LVIS
+command exercises) through the production machinery, with a synthetic
+"epoch" of TRAIN.epoch_iters=1000 steps:
+
+  phase 1 (epochs 1..PRETRAIN_EPOCHS, default 5): saliency pretrain — the
+    TRAIN.opt_deform_LabelEdge fix_seg window: the step loss is the edge
+    loss alone (models/models.py:899-901 early return -> the traced
+    batch['edge_only'] flag) and the encoder/decoder LR is gated to 0
+    (adjust_learning_rate fix_seg branch -> train/optim.py lr_class).
+  phase 2 (next FIX_DEFORM_EPOCHS epochs, default 10): fix_deform window —
+    joint loss but saliency/compress LR gated to 0, so the segmentation
+    nets learn on a frozen, edge-pretrained warp.
+  phase 3: joint training, as the flat recipe.
+  decade decay: DECAY_AT_STEP (default 67000 for a 100k run — the shipped
+    config decays at epoch 100 of 150, train epoch_iters*deform_pretrain).
+  edge annealing: EDGE_ANNEAL_MAX_ITERS (default steps when STAGED) enables
+    the TRAIN.fixed_edge_loss_scale poly decay
+    (adjust_edge_loss_scale, train_deform_semantic.py:294-300):
+    scale = edge_loss_scale * (1 - iter/max_iters)^edge_loss_pow, traced
+    per-step via batch['edge_scale'].
 """
 
 import json
@@ -93,12 +115,33 @@ def main():
     # function of the optimizer step count, and the pre-decay LR is identical
     # to the flat default, so a run resumed from a flat-LR carry continues
     # the exact same trajectory until the decay step.
-    decay_at = int(os.environ.get("DECAY_AT_STEP", "0"))
+    staged = bool(int(os.environ.get("STAGED", "0")))
+    decay_at = int(os.environ.get("DECAY_AT_STEP", "67000" if staged else "0"))
     if decay_at:
         assert decay_at % 1000 == 0, "DECAY_AT_STEP must be a multiple of 1000"
         cfg.TRAIN.scale_by_iter = True
         cfg.TRAIN.epoch_iters = 1000
         cfg.TRAIN.deform_pretrain = decay_at // 1000
+
+    # --- staged recipe (see module docstring) ---
+    pretrain_epochs = int(os.environ.get("PRETRAIN_EPOCHS", "5")) if staged else 0
+    fix_deform_epochs = int(os.environ.get("FIX_DEFORM_EPOCHS", "10")) if staged else 0
+    edge_anneal_iters = int(os.environ.get("EDGE_ANNEAL_MAX_ITERS",
+                                           str(steps) if staged else "0"))
+    if staged:
+        cfg.TRAIN.epoch_iters = 1000  # synthetic epoch for the window state machine
+        if pretrain_epochs:
+            cfg.TRAIN.opt_deform_LabelEdge = True
+            cfg.TRAIN.fix_seg_start_epoch = 1
+            cfg.TRAIN.fix_seg_end_epoch = pretrain_epochs
+        if fix_deform_epochs:
+            cfg.TRAIN.fix_deform_aft_pretrain = True
+            cfg.TRAIN.fix_deform_start_epoch = pretrain_epochs + 1
+            cfg.TRAIN.fix_deform_end_epoch = pretrain_epochs + fix_deform_epochs
+    epoch_iters = cfg.TRAIN.epoch_iters
+    edge_base = cfg.TRAIN.edge_loss_scale
+    edge_pow = cfg.TRAIN.edge_loss_pow
+    edge_min = cfg.TRAIN.edge_loss_scale_min
 
     dc = DeformConfig.from_cfg(cfg)
     module = DeformSegmentation(config=dc, dtype=jnp.bfloat16)
@@ -115,6 +158,15 @@ def main():
     def train_chunk(state, start):
         def body(st, i):
             b = make_batch_device(jax.random.fold_in(data_key, 1 + start + i), BATCH, CANVAS, NUM_FG)
+            step_abs = start + i
+            if pretrain_epochs:
+                # fix_seg window: edge-only loss, matching the lr_class=0 gate
+                # the optimizer schedule applies over the same epochs
+                epoch = step_abs // epoch_iters + 1
+                b["edge_only"] = epoch <= pretrain_epochs
+            if edge_anneal_iters:
+                frac = jnp.maximum(1.0 - step_abs.astype(jnp.float32) / edge_anneal_iters, 0.0)
+                b["edge_scale"] = jnp.maximum(edge_base * frac**edge_pow, edge_min)
             st, mets = step(st, b, jax.random.fold_in(drop_key, start + i))
             return st, mets["loss"]
 
@@ -198,6 +250,10 @@ def main():
     # start_step makes resumed runs explicit: history covers
     # (start_step, steps] only — splice earlier logs for the full curve
     print(json.dumps({"batch": BATCH, "steps": steps, "start_step": start0,
+                      "staged": staged, "pretrain_epochs": pretrain_epochs,
+                      "fix_deform_epochs": fix_deform_epochs,
+                      "decay_at_step": decay_at,
+                      "edge_anneal_max_iters": edge_anneal_iters,
                       "history": history}))
 
 

@@ -47,6 +47,10 @@ def main(argv=None):
                              "consume weights trained here")
     parser.add_argument("--torch-ckpt", default=None)
     parser.add_argument("--torch-epoch", default="last")
+    parser.add_argument("--allow-random", action="store_true",
+                        help="permit exporting RANDOMLY INITIALIZED weights "
+                             "(smoke tests only; refused otherwise for "
+                             "--format torch)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
 
@@ -70,12 +74,14 @@ def main(argv=None):
     f0 = jnp.full((args.batch, 2), 0.5, jnp.float32)
     variables = module.init({"params": jax.random.PRNGKey(cfg.TRAIN.seed)}, x0, f0)
     params, stats = variables["params"], variables.get("batch_stats", {})
+    source = "random"  # until a checkpoint overwrites the module.init weights
     if args.torch_ckpt:
         from fovealseg_tpu.train.checkpoint import load_torch_checkpoint
 
         params, stats = load_torch_checkpoint(
             args.torch_ckpt, args.torch_epoch, params, stats
         )
+        source = "torch_ckpt"
     elif cfg.TRAIN.start_epoch > 0 and os.path.isdir(cfg.DIR):
         from fovealseg_tpu.train.optim import create_optimizer
         from fovealseg_tpu.train import checkpoint as ckpt
@@ -86,14 +92,33 @@ def main(argv=None):
                            {"img_data": x0, "focus_point": f0})
         restored = ckpt.load_checkpoint(cfg.DIR, cfg.TRAIN.start_epoch, state)
         params, stats = restored["params"], restored["batch_stats"]
+        source = "orbax"
+
+    if source == "random" and not args.allow_random:
+        # mirror cli/eval's RANDOMLY INITIALIZED warning — but exporting is
+        # handing weights to a downstream consumer, so refuse instead
+        parser.error(
+            "no weight source (no --torch-ckpt, and TRAIN.start_epoch/DIR do "
+            "not name a resumable checkpoint): refusing to export RANDOMLY "
+            "INITIALIZED weights. Pass --allow-random for smoke tests."
+        )
 
     if args.format == "torch":
         from fovealseg_tpu.train.checkpoint import save_torch_checkpoint
 
-        tag = cfg.TRAIN.start_epoch if cfg.TRAIN.start_epoch > 0 else "last"
-        written = save_torch_checkpoint(args.out, tag, params, stats)
+        # the tag names the actual weight source: --torch-epoch for a torch
+        # re-export, TRAIN.start_epoch for an orbax restore, else 'last'
+        if source == "torch_ckpt":
+            tag = args.torch_epoch
+        elif source == "orbax":
+            tag = cfg.TRAIN.start_epoch
+        else:
+            tag = "last"
+        written = save_torch_checkpoint(args.out, tag, params, stats,
+                                        also_last=(str(tag) != "last"))
         print(f"wrote {len(written)} reference-format .pth files under {args.out} "
-              f"(epoch tag {tag} + _last mirrors)")
+              f"(epoch tag {tag}"
+              + (" + _last mirrors)" if str(tag) != "last" else ")"))
         return
 
     out_key = "pred_sampled" if args.scores else "pred_label"

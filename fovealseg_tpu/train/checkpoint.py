@@ -190,6 +190,7 @@ def export_torch_state_dict(
         # reference's f32 checkpoint dtype
         return arr.astype(np.float32) if np.issubdtype(arr.dtype, np.floating) else arr
 
+    dropped = []
     for path, arr in _flatten(params).items():
         kind = _FILE_FROM_SUBTREE.get(path[0])
         if kind is None:
@@ -205,6 +206,7 @@ def export_torch_state_dict(
         elif leaf == "bias":
             key, val = "bias", arr
         else:
+            dropped.append(".".join(path))
             continue
         out[kind][f"{mod}.{key}" if mod else key] = val
     for path, arr in _flatten(batch_stats).items():
@@ -213,9 +215,21 @@ def export_torch_state_dict(
             continue
         mod, leaf = ".".join(path[1:-1]), path[-1]
         if leaf not in ("mean", "var"):
+            dropped.append(".".join(path))
             continue
-        out[kind][f"{mod}.running_{leaf}"] = _np(arr)
-        out[kind].setdefault(f"{mod}.num_batches_tracked", np.asarray(0, np.int64))
+        stat_key = f"{mod}.running_{leaf}" if mod else f"running_{leaf}"
+        nbt_key = f"{mod}.num_batches_tracked" if mod else "num_batches_tracked"
+        out[kind][stat_key] = _np(arr)
+        out[kind].setdefault(nbt_key, np.asarray(0, np.int64))
+    if dropped:
+        # symmetric with import_torch_state_dict's skipped warning: a future
+        # model with a new leaf name must not silently vanish from exports
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "torch export: %d leaves dropped (no torch mapping): %s...",
+            len(dropped), dropped[:5],
+        )
     return {k: v for k, v in out.items() if v}
 
 

@@ -123,3 +123,21 @@ def test_torch_export_strict_into_reference_fovsim():
     with torch.no_grad():
         ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_torch_export_logs_dropped_leaves_and_root_stats(caplog):
+    # ADVICE r2: (a) a param leaf with no torch mapping must be logged, not
+    # silently dropped; (b) a mean/var leaf at a subtree ROOT must produce
+    # 'running_mean', not '.running_mean'
+    import logging
+
+    params = {"encoder": {"kernel": np.ones((3, 3, 2, 4), np.float32),
+                          "mystery_leaf": np.ones((5,), np.float32)}}
+    stats = {"encoder": {"mean": np.zeros((4,), np.float32),
+                         "var": np.ones((4,), np.float32)}}
+    with caplog.at_level(logging.WARNING):
+        sds = ckpt.export_torch_state_dict(params, stats)
+    assert "encoder.mystery_leaf" in caplog.text
+    assert set(sds["encoder"]) == {
+        "weight", "running_mean", "running_var", "num_batches_tracked"
+    }, sorted(sds["encoder"])
