@@ -1,15 +1,22 @@
-"""Benchmark: foveated inference frames/sec/chip at 640px -> 80x80 task.
+"""Benchmark: foveated FULL-RES serving frames/sec/chip (640px in, 640px out).
 
-Measures the full FSNet pipeline (gaze map -> saliency -> grid solve ->
-foveated warp -> HRNetV2-nodownsp -> C1) in eval mode on the available
-accelerator, bf16 compute / f32 params.
+Headline (``value``): the end-to-end serving path — gaze map -> saliency ->
+grid solve -> foveated warp -> HRNetV2-nodownsp -> C1 -> argmax inverse warp
+back to the full 640x640 canvas (the reference's actual product surface:
+argmax(pred_sampled), models_instance.py:839-949) — bf16 compute / f32
+params, batch 8. Secondary fields: the warped-domain forward (the
+BASELINE eval config, VAL.no_upsample=True — stops before the inverse
+warp), the full-res score-map path (all 51 channels inverse-warped), and
+``single_stream_ms`` (batch-1 serving latency).
 
-``vs_baseline``: ratio of our throughput to **5x the measured PyTorch-CPU
-baseline** of the same pipeline (benchmarks/torch_baseline.py) — i.e.
-vs_baseline >= 1.0 means the BASELINE.md north-star (">=5x end-to-end
-foveated inference throughput vs the PyTorch baseline") is met against the
-only torch hardware present. The measured baseline fps is cached in
-BASELINE_MEASURED.json (delete to re-measure) and reported alongside.
+``vs_baseline``: headline serving fps over **5x the measured PyTorch-CPU
+baseline** (benchmarks/torch_baseline.py) — i.e. vs_baseline >= 1.0 means
+the BASELINE.md north-star (">=5x end-to-end foveated inference throughput
+vs the PyTorch baseline") is met against the only torch hardware present.
+Conservative: the torch baseline stops at the warped domain (it has no
+inverse-warp stage), so it is compared against our LONGER pipeline. The
+measured baseline fps is cached in BASELINE_MEASURED.json (delete to
+re-measure) and reported alongside.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -98,24 +105,41 @@ def measure_fullres_labels_fps(batch: int = 8, setup=None) -> float:
     return batch / dt
 
 
+def measure_single_stream_ms(setup=None) -> float:
+    """Batch-1 serving latency (ms) on the full-res argmax path."""
+    from benchmarks.timing import time_op
+    from fovealseg_tpu.models.deform_module import DeformSegmentation
+
+    module, variables, x, f = setup or _flagship_setup(1)
+    dt = time_op(
+        lambda x: module.apply(
+            variables, x, f, argmax_labels=True, method=DeformSegmentation.infer
+        )["pred_label"],
+        x, n1=5, n2=25,
+    )
+    return dt * 1e3
+
+
 def main():
-    setup = _flagship_setup(8)  # one model/param materialization for all three
-    fps = measure_jax_fps(setup=setup)
-    fullres = measure_fullres_fps(setup=setup)
-    fullres_labels = measure_fullres_labels_fps(setup=setup)
+    setup = _flagship_setup(8)  # one model/param materialization for the b8 paths
+    serving = measure_fullres_labels_fps(setup=setup)
+    warped = measure_jax_fps(setup=setup)
+    scoremap = measure_fullres_fps(setup=setup)
+    b1_ms = measure_single_stream_ms()
     base = get_torch_baseline_fps()
-    vs = fps / (5.0 * base) if base == base and base > 0 else 0.0
+    vs = serving / (5.0 * base) if base == base and base > 0 else 0.0
     print(
         json.dumps(
             {
-                "metric": "foveated_inference_throughput",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip (640px->80x80, FSNet HRNetV2 bf16, warped-domain)",
+                "metric": "foveated_serving_throughput",
+                "value": round(serving, 3),
+                "unit": "frames/sec/chip (640px->80x80->640px argmax serving, FSNet HRNetV2 bf16, batch 8)",
                 "vs_baseline": round(vs, 3),
-                "fullres_inverse_warp_fps": round(fullres, 3),
-                "fullres_labels_fps": round(fullres_labels, 3),
+                "single_stream_ms": round(b1_ms, 3),
+                "warped_domain_fps": round(warped, 3),
+                "fullres_scoremap_fps": round(scoremap, 3),
                 "torch_cpu_baseline_fps": round(base, 3) if base == base else None,
-                "baseline_definition": "5x torch-CPU end-to-end pipeline (BASELINE.md north star)",
+                "baseline_definition": "5x torch-CPU pipeline (BASELINE.md north star; torch stops at the warped domain — compared against our longer full-res path)",
             }
         )
     )

@@ -135,6 +135,58 @@ class KDTree:
                     out.add((i, j))
         return out
 
+    def query_ball_tree(self, other: "KDTree", r: float, p: float = 2.0):
+        """For each point in self, the indices of points in ``other`` within
+        distance r — scipy's ``cKDTree.query_ball_tree`` surface
+        (/root/reference/spatial/ckdtree/src/query_ball_tree.cxx). The
+        traversal runs in the native tree of ``other``; scipy's dual-tree
+        walk is an optimization with identical results."""
+        return other.query_ball_point(self.data, r, p=p)
+
+    def sparse_distance_matrix(self, other: "KDTree", max_distance: float,
+                               p: float = 2.0, output_type: str = "dok_matrix"):
+        """Sparse matrix of distances between all pairs (i in self, j in
+        other) with distance <= max_distance — scipy's
+        ``cKDTree.sparse_distance_matrix`` surface
+        (/root/reference/spatial/ckdtree/src/sparse_distances.cxx).
+
+        ``output_type``: 'dok_matrix' (default), 'coo_matrix' or 'dict'
+        ({(i, j): distance}).
+        """
+        pairs: dict[tuple[int, int], float] = {}
+        pf = float(p)
+        for i, neigh in enumerate(self.query_ball_tree(other, max_distance, p=p)):
+            if not neigh:
+                continue
+            diff = np.abs(other.data[neigh] - self.data[i])
+            if np.isinf(pf):
+                d = diff.max(axis=1)
+            elif pf == 2.0:
+                d = np.sqrt((diff * diff).sum(axis=1))
+            elif pf == 1.0:
+                d = diff.sum(axis=1)
+            else:
+                d = (diff**pf).sum(axis=1) ** (1.0 / pf)
+            for j, dj in zip(neigh, d):
+                pairs[(i, int(j))] = float(dj)
+        if output_type == "dict":
+            return pairs
+        from scipy import sparse
+
+        if output_type == "dok_matrix":
+            m = sparse.dok_matrix((self.n, other.n))
+            for k, v in pairs.items():
+                m[k] = v
+            return m
+        if output_type == "coo_matrix":
+            if pairs:
+                ij = np.array(list(pairs), dtype=np.int64)
+                v = np.fromiter(pairs.values(), dtype=np.float64, count=len(pairs))
+                return sparse.coo_matrix((v, (ij[:, 0], ij[:, 1])),
+                                         shape=(self.n, other.n))
+            return sparse.coo_matrix((self.n, other.n))
+        raise ValueError(f"unknown output_type {output_type!r}")
+
     def count_neighbors(self, other: "KDTree", r, p: float = 2.0):
         """Number of pairs (x1 in self, x2 in other) with dist <= r.
 

@@ -345,3 +345,287 @@ class Slerp:
         delta = (r0.inv() * r1).as_rotvec()
         out = r0 * Rotation.from_rotvec(delta * tau[:, None])
         return out[0] if single else out
+
+
+# ---------------------------------------------------------------------------
+# Rotation-vector <-> angular-rate kinematics (shared by RotationSpline).
+#
+# With r(t) the rotation vector of a moving frame and w(t) its angular rate,
+# rdot = T(r) w and w = Tinv(r) rdot, where (theta = |r|, S = skew(r)):
+#   T(r)    = I + S/2 + c(theta) S^2,  c = (1 - (theta/2) cot(theta/2)) / theta^2
+#   Tinv(r) = I - k1 S + k2 S^2,       k1 = (1-cos)/th^2, k2 = (th-sin)/th^3
+# Small-angle branches use the Taylor series. Angular acceleration is
+# a = Tinv(r) rddot + beta(r, rdot) with the quadratic term beta below —
+# standard attitude kinematics (the math the reference's vendored
+# spatial/transform/_rotation_spline.py also implements).
+# ---------------------------------------------------------------------------
+
+
+def _skew(r: np.ndarray) -> np.ndarray:
+    """[n,3] -> [n,3,3] skew-symmetric (cross-product) matrices."""
+    z = np.zeros(len(r))
+    rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
+    return np.stack(
+        [z, -rz, ry, rz, z, -rx, -ry, rx, z], axis=-1
+    ).reshape(-1, 3, 3)
+
+
+def _rate_to_rotvec_dot(r: np.ndarray) -> np.ndarray:
+    """T(r): angular rate -> rotation-vector derivative, [n,3,3]."""
+    th = np.linalg.norm(r, axis=1)
+    big = th > 1e-4
+    c = np.where(
+        big,
+        (1.0 - 0.5 * th / np.tan(np.where(big, th, 1.0) / 2.0)) / np.where(big, th, 1.0) ** 2,
+        1.0 / 12.0 + th**2 / 720.0,
+    )
+    s = _skew(r)
+    return np.eye(3) + 0.5 * s + c[:, None, None] * (s @ s)
+
+
+def _rotvec_dot_to_rate(r: np.ndarray) -> np.ndarray:
+    """Tinv(r): rotation-vector derivative -> angular rate, [n,3,3]."""
+    th = np.linalg.norm(r, axis=1)
+    big = th > 1e-4
+    thb = np.where(big, th, 1.0)
+    k1 = np.where(big, (1.0 - np.cos(thb)) / thb**2, 0.5 - th**2 / 24.0)
+    k2 = np.where(big, (thb - np.sin(thb)) / thb**3, 1.0 / 6.0 - th**2 / 120.0)
+    s = _skew(r)
+    return np.eye(3) - k1[:, None, None] * s + k2[:, None, None] * (s @ s)
+
+
+def _accel_quadratic_term(r: np.ndarray, rdot: np.ndarray) -> np.ndarray:
+    """beta(r, rdot): the quadratic-in-rdot part of the angular acceleration."""
+    th = np.linalg.norm(r, axis=1)
+    big = th > 1e-4
+    thb = np.where(big, th, 1.0)
+    k1 = np.where(
+        big, (-thb * np.sin(thb) - 2.0 * (np.cos(thb) - 1.0)) / thb**4,
+        1.0 / 12.0 - th**2 / 180.0,
+    )
+    k2 = np.where(
+        big, (-2.0 * thb + 3.0 * np.sin(thb) - thb * np.cos(thb)) / thb**5,
+        -1.0 / 60.0 + th**2 / 12604.0,
+    )
+    k3 = np.where(big, (thb - np.sin(thb)) / thb**3, 1.0 / 6.0 - th**2 / 120.0)
+    dp = np.sum(r * rdot, axis=1, keepdims=True)
+    cp = np.cross(r, rdot)
+    return (dp * (k1[:, None] * cp + k2[:, None] * np.cross(r, cp))
+            + k3[:, None] * np.cross(rdot, cp))
+
+
+def _solve_block_tridiag(sub, diag, sup, b):
+    """Thomas algorithm over 3x3 blocks.
+
+    sub[i-1] couples unknown i to i-1 (i in 1..m-1), diag[i] is the i-th
+    diagonal block, sup[i] couples i to i+1 (i in 0..m-2); b is [m,3].
+    """
+    m = len(b)
+    diag = diag.copy()
+    b = b.copy()
+    for i in range(1, m):
+        w = sub[i - 1] @ np.linalg.inv(diag[i - 1])
+        diag[i] = diag[i] - w @ sup[i - 1]
+        b[i] = b[i] - w @ b[i - 1]
+    x = np.empty_like(b)
+    x[-1] = np.linalg.solve(diag[-1], b[-1])
+    for i in range(m - 2, -1, -1):
+        x[i] = np.linalg.solve(diag[i], b[i] - sup[i] @ x[i + 1])
+    return x
+
+
+class RotationSpline:
+    """C2 rotation interpolation: per-segment cubic rotation vectors with
+    continuous angular rate and acceleration across knots.
+
+    The spatial/transform ``RotationSpline`` surface of the reference's
+    vendored scipy (/root/reference/spatial/transform/_rotation_spline.py —
+    shipped with tests, never imported by the runtime). Semantics match
+    scipy's: segment i carries the cubic relative rotation vector from
+    R_i to R_{i+1}; knot angular rates solve the acceleration-continuity
+    system (a nonlinear fixed point, iterated over a linearized 3x3-block
+    tridiagonal solve) with the chord rates of the end segments as fixed
+    boundary rates. ``__call__(t, order)`` returns interpolated Rotations
+    (0), angular rate (1) or angular acceleration (2); oracle-tested
+    against scipy.spatial.transform.RotationSpline.
+    """
+
+    MAX_ITER = 10
+    TOL = 1e-9
+
+    def __init__(self, times, rotations: Rotation):
+        times = np.asarray(times, dtype=np.float64)
+        if times.ndim != 1 or len(times) != len(rotations):
+            raise ValueError("times must be 1-D with one entry per rotation")
+        dt = np.diff(times)
+        if np.any(dt <= 0):
+            raise ValueError("times must be strictly increasing")
+
+        # relative rotation vector per segment; chord rates as boundary/initial
+        r = (rotations[:-1].inv() * rotations[1:]).as_rotvec()
+        w = r / dt[:, None]
+        if len(times) == 2:
+            rdot_end = w.copy()  # single linear segment
+            w_knot = w
+        else:
+            w0 = w[0].copy()  # first knot keeps the segment-0 chord rate
+            w_end, rdot_end = self._solve_rates(dt, w, r)
+            w_knot = np.vstack([w0[None], w_end[:-1]])
+
+        d = dt[:, None]
+        # r_i(tau) = w tau + b tau^2 + c tau^3 on [0, dt_i]; rdot at the far
+        # end must equal T(r_i) w_{i+1} (rate continuity across the knot)
+        self._c3 = (d * (w_knot + rdot_end) - 2.0 * r) / d**3
+        self._c2 = (3.0 * r - d * (2.0 * w_knot + rdot_end)) / d**2
+        self._c1 = w_knot
+        self.times = times
+        self.rotations = rotations
+
+    def _solve_rates(self, dt, w, r):
+        """Fixed-point iteration for knot angular rates.
+
+        ``w`` enters as chord rates; during iteration w[i] estimates the
+        rate at knot i+1 (the far end of segment i); the first knot's rate
+        stays the segment-0 chord rate, the last knot's the last chord rate.
+        """
+        w0 = w[0].copy()
+        T = _rate_to_rotvec_dot(r)
+        Tinv = _rotvec_dot_to_rate(r)
+
+        # acceleration continuity at interior knot i (end of segment i-1 =
+        # start of segment i), eliminated to rates: block-tridiagonal system
+        sub = 2.0 * Tinv[1:-1] / dt[1:-1, None, None]
+        sup = 2.0 * T[1:-1] / dt[1:-1, None, None]
+        diag = (4.0 * (1.0 / dt[:-1] + 1.0 / dt[1:]))[:, None, None] * np.eye(3)
+        rhs0 = 6.0 * (r[:-1] / dt[:-1, None] ** 2 + r[1:] / dt[1:, None] ** 2)
+        rhs0[0] -= 2.0 / dt[0] * (Tinv[0] @ w0)
+        rhs0[-1] -= 2.0 / dt[-1] * (T[-1] @ w[-1])
+
+        for _ in range(self.MAX_ITER):
+            rdot = np.einsum("nij,nj->ni", T, w)
+            rhs = rhs0 - _accel_quadratic_term(r[:-1], rdot[:-1])
+            w_new = _solve_block_tridiag(sub, diag, sup, rhs)
+            delta = np.abs(w_new - w[:-1])
+            w[:-1] = w_new
+            if np.all(delta < self.TOL * (1.0 + np.abs(w_new))):
+                break
+        rdot = np.einsum("nij,nj->ni", T, w)
+        return w, rdot
+
+    def _eval_poly(self, t, order: int):
+        idx = np.clip(np.searchsorted(self.times, t, side="right") - 1, 0,
+                      len(self.times) - 2)
+        tau = (t - self.times[idx])[:, None]
+        c3, c2, c1 = self._c3[idx], self._c2[idx], self._c1[idx]
+        if order == 0:
+            return idx, ((c3 * tau + c2) * tau + c1) * tau
+        if order == 1:
+            return idx, (3.0 * c3 * tau + 2.0 * c2) * tau + c1
+        return idx, 6.0 * c3 * tau + 2.0 * c2
+
+    def __call__(self, t, order: int = 0):
+        if order not in (0, 1, 2):
+            raise ValueError("order must be 0, 1 or 2")
+        t = np.asarray(t, dtype=np.float64)
+        single = t.ndim == 0
+        t = np.atleast_1d(t)
+        idx, r = self._eval_poly(t, 0)
+        if order == 0:
+            out = self.rotations[idx] * Rotation.from_rotvec(r)
+            return out[0] if single else out
+        _, rdot = self._eval_poly(t, 1)
+        if order == 1:
+            res = np.einsum("nij,nj->ni", _rotvec_dot_to_rate(r), rdot)
+        else:
+            _, rddot = self._eval_poly(t, 2)
+            res = (np.einsum("nij,nj->ni", _rotvec_dot_to_rate(r), rddot)
+                   + _accel_quadratic_term(r, rdot))
+        return res[0] if single else res
+
+
+# ---------------------------------------------------------------------------
+# 3-D rotation groups (the spatial/transform/_rotation_groups.py surface).
+#
+# Instead of literal quaternion tables, the polyhedral groups are built by
+# CLOSURE from generators: start from the generator set and multiply until
+# no new element appears (canonicalizing q ~ -q). The closure guarantees
+# group correctness by construction; tests additionally pin set-equality
+# against scipy's create_group.
+# ---------------------------------------------------------------------------
+
+
+def _canonical_quats(quats: np.ndarray) -> np.ndarray:
+    """Dedup + canonicalize (q ~ -q) + lexicographic sort of [n,4] quats."""
+    q = _normalize(np.asarray(quats, dtype=np.float64))
+    # flip so the first nonzero component (scanning w,z,y,x) is positive
+    key = np.where(np.abs(q) > 1e-9, np.sign(q), 0.0)
+    lead = np.argmax(np.abs(key[:, ::-1]) > 0, axis=1)
+    flip = key[np.arange(len(q)), 3 - lead] < 0
+    q[flip] *= -1.0
+    q = np.round(q / 1e-12) * 1e-12  # stable dedup at closure tolerance
+    order = np.lexsort(q.T)
+    q = q[order]
+    keep = np.ones(len(q), bool)
+    keep[1:] = np.any(np.abs(np.diff(q, axis=0)) > 1e-9, axis=1)
+    return q[keep]
+
+
+def _closure(generators: np.ndarray, max_order: int = 120) -> np.ndarray:
+    elems = _canonical_quats(np.vstack([generators, [[0.0, 0.0, 0.0, 1.0]]]))
+    while True:
+        prod = _quat_mul(elems[:, None, :], elems[None, :, :]).reshape(-1, 4)
+        new = _canonical_quats(np.vstack([elems, prod]))
+        if len(new) == len(elems):
+            return new
+        elems = new
+        assert len(elems) <= max_order, "closure diverged"
+
+
+def _axis_rotvec(axis: int, angle: float) -> np.ndarray:
+    rv = np.zeros(3)
+    rv[axis] = angle
+    return rv
+
+
+def create_group(cls, group: str, axis: str = "Z") -> "Rotation":
+    """Rotation.create_group work-alike: 'I', 'O', 'T', 'Cn', 'Dn'."""
+    if not isinstance(group, str):
+        raise ValueError("group must be a string")
+    if axis not in "xyzXYZ" or len(axis) != 1:
+        raise ValueError("axis must be one of x, y, z, X, Y, Z")
+    ax = "xyz".index(axis.lower())
+
+    if group in ("I", "O", "T"):
+        third = Rotation.from_rotvec(
+            np.full(3, 2.0 * np.pi / 3.0 / np.sqrt(3.0))).as_quat()
+        half_z = Rotation.from_rotvec([0.0, 0.0, np.pi]).as_quat()
+        gens = [third, half_z]
+        if group == "O":
+            gens.append(Rotation.from_rotvec([0.0, 0.0, np.pi / 2.0]).as_quat())
+        if group == "I":
+            # a 5-fold axis of the icosahedron through vertex (0, 1, phi)
+            phi = (1.0 + np.sqrt(5.0)) / 2.0
+            v = np.array([0.0, 1.0, phi]) / np.sqrt(1.0 + phi * phi)
+            gens.append(Rotation.from_rotvec(v * 2.0 * np.pi / 5.0).as_quat())
+        return cls.from_quat(_closure(np.vstack(gens)))
+
+    if group[:1] in ("C", "D") and group[1:].isdigit():
+        n = int(group[1:])
+        if n < 1:
+            raise ValueError("group order must be positive")
+        thetas = 2.0 * np.pi * np.arange(n) / n
+        rv = [_axis_rotvec(ax, t) for t in thetas]
+        if group[0] == "D":
+            # n two-fold axes in the plane normal to the cyclic axis
+            half = np.pi * np.arange(n) / n
+            for t in half:
+                r = np.zeros(3)
+                r[(ax + 1) % 3] = np.pi * np.cos(t)
+                r[(ax + 2) % 3] = np.pi * np.sin(t)
+                rv.append(r)
+        return cls.from_rotvec(np.asarray(rv))
+
+    raise ValueError("group must be one of 'I', 'O', 'T', 'Dn', 'Cn'")
+
+
+Rotation.create_group = classmethod(create_group)

@@ -81,3 +81,44 @@ def test_missing_neighbors_sentinel(rng):
 
 def test_alias():
     assert cKDTree is KDTree
+
+
+def test_query_ball_tree_matches_scipy(rng):
+    sp = pytest.importorskip("scipy.spatial")
+    a = rng.standard_normal((60, 3))
+    b = rng.standard_normal((45, 3))
+    ours_a, ours_b = KDTree(a), KDTree(b)
+    ref_a, ref_b = sp.cKDTree(a), sp.cKDTree(b)
+    for r, p in [(0.8, 2.0), (1.2, 1.0), (0.9, np.inf), (0.0, 2.0)]:
+        ours = ours_a.query_ball_tree(ours_b, r, p=p)
+        ref = ref_a.query_ball_tree(ref_b, r, p=p)
+        assert [sorted(x) for x in ours] == [sorted(x) for x in ref], (r, p)
+
+
+def test_sparse_distance_matrix_matches_scipy(rng):
+    sp = pytest.importorskip("scipy.spatial")
+    a = rng.standard_normal((40, 4))
+    b = rng.standard_normal((55, 4))
+    ours_a, ours_b = KDTree(a), KDTree(b)
+    ref_a, ref_b = sp.cKDTree(a), sp.cKDTree(b)
+    for p in (2.0, 1.0, 3.0, np.inf):
+        ours = ours_a.sparse_distance_matrix(ours_b, 1.1, p=p)
+        ref = ref_a.sparse_distance_matrix(ref_b, 1.1, p=p)
+        assert ours.shape == ref.shape
+        ko, kr = set(dict(ours)), set(dict(ref))
+        assert ko == kr, f"key sets differ at p={p}"
+        for k in kr:
+            np.testing.assert_allclose(ours[k], ref[k], rtol=1e-12, err_msg=str(p))
+    # dict + coo output types
+    d = ours_a.sparse_distance_matrix(ours_b, 1.1, output_type="dict")
+    rd = ref_a.sparse_distance_matrix(ref_b, 1.1, output_type="dict")
+    assert set(d) == set(rd)
+    coo = ours_a.sparse_distance_matrix(ours_b, 1.1, output_type="coo_matrix")
+    np.testing.assert_allclose(
+        coo.toarray(),
+        ref_a.sparse_distance_matrix(ref_b, 1.1, output_type="coo_matrix").toarray(),
+        rtol=1e-12,
+    )
+    # empty result keeps shape/type
+    empty = ours_a.sparse_distance_matrix(ours_b, 0.0, output_type="coo_matrix")
+    assert empty.nnz == 0 and empty.shape == (40, 55)

@@ -157,3 +157,119 @@ def test_sort_vertices_of_regions_matches_scipy(rng):
     sort_vertices_of_regions(simplices, our_regions)
     for a, b in zip(our_regions, ref_regions):
         assert _cyclic_equal(a, b)
+
+
+# ---- RotationSpline + rotation groups (spatial/transform tail surface) ----
+
+
+def _ref_spline():
+    from scipy.spatial.transform import RotationSpline as SciSpline
+
+    return SciSpline
+
+
+def test_rotation_spline_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation as SciRot
+
+    from fovealseg_tpu.native.rotation import RotationSpline
+
+    times = np.array([0.0, 10.0, 20.0, 40.0, 70.0])
+    angles = rng.uniform(-60, 60, (5, 3))
+    ours = RotationSpline(times, Rotation.from_euler("XYZ", angles, degrees=True))
+    ref = _ref_spline()(times, SciRot.from_euler("XYZ", angles, degrees=True))
+
+    t = np.linspace(0.0, 70.0, 57)
+    np.testing.assert_allclose(
+        ours(t).as_quat() * np.sign(ours(t).as_quat()[:, 3:]),
+        ref(t).as_quat() * np.sign(ref(t).as_quat()[:, 3:]),
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(ours(t, 1), ref(t, 1), atol=1e-10)
+    np.testing.assert_allclose(ours(t, 2), ref(t, 2), atol=1e-10)
+    # knot interpolation is exact; scalar-time call returns a single rotation
+    np.testing.assert_allclose(
+        ours(10.0).as_matrix(),
+        SciRot.from_euler("XYZ", angles[1], degrees=True).as_matrix(),
+        atol=1e-12,
+    )
+
+
+def test_rotation_spline_two_knots_matches_scipy():
+    from scipy.spatial.transform import Rotation as SciRot
+
+    from fovealseg_tpu.native.rotation import RotationSpline
+
+    times = [0.0, 4.0]
+    quats = Rotation.from_euler("xyz", [[10, 20, 30], [-40, 10, 110]],
+                                degrees=True).as_quat()
+    ours = RotationSpline(times, Rotation.from_quat(quats))
+    ref = _ref_spline()([0.0, 4.0], SciRot.from_quat(quats))
+    t = np.linspace(0, 4, 17)
+    np.testing.assert_allclose(ours(t, 1), ref(t, 1), atol=1e-12)
+    np.testing.assert_allclose(
+        ours(t).as_matrix(), ref(t).as_matrix(), atol=1e-12)
+
+
+def test_rotation_spline_validation():
+    from fovealseg_tpu.native.rotation import RotationSpline
+
+    r = Rotation.from_euler("xyz", [[0, 0, 0], [10, 0, 0]], degrees=True)
+    with pytest.raises(ValueError):
+        RotationSpline([0.0, 0.0], r)  # non-increasing
+    with pytest.raises(ValueError):
+        RotationSpline([0.0], r)  # length mismatch
+    with pytest.raises(ValueError):
+        RotationSpline([0.0, 1.0], r)(0.5, order=3)
+
+
+def _canon_set(quats):
+    q = np.asarray(quats, float)
+    q = q * np.where(q[:, 3:] < 0, -1.0, 1.0)
+    q = q * np.where((np.abs(q[:, 3:]) < 1e-9) & (q[:, 2:3] < 0), -1.0, 1.0)
+    q = q * np.where(
+        (np.abs(q[:, 3:]) < 1e-9) & (np.abs(q[:, 2:3]) < 1e-9) & (q[:, 1:2] < 0),
+        -1.0, 1.0)
+    q = q * np.where(
+        (np.abs(q[:, 2:]) < 1e-9).all(1, keepdims=True) & (q[:, :1] < 0) &
+        (np.abs(q[:, 1:2]) < 1e-9), -1.0, 1.0)
+    return {tuple(np.round(row, 6)) for row in q}
+
+
+@pytest.mark.parametrize("group,order", [
+    ("I", 60), ("O", 24), ("T", 12), ("C1", 1), ("C4", 4), ("C7", 7),
+    ("D1", 2), ("D3", 6), ("D5", 10),
+])
+def test_create_group_matches_scipy(group, order):
+    from scipy.spatial.transform import Rotation as SciRot
+
+    ours = Rotation.create_group(group)
+    ref = SciRot.create_group(group)
+    assert len(ours) == len(ref) == order
+    assert _canon_set(ours.as_quat()) == _canon_set(ref.as_quat()), group
+    # closure: every pairwise product stays in the group
+    got = ours.as_quat()
+    all_prod = []
+    for i in range(len(ours)):
+        all_prod.append((ours[i] * ours).as_quat())
+    assert _canon_set(np.vstack(all_prod)) == _canon_set(got)
+
+
+@pytest.mark.parametrize("axis", ["x", "y", "z"])
+def test_create_group_axes_match_scipy(axis):
+    from scipy.spatial.transform import Rotation as SciRot
+
+    for g in ("C5", "D4"):
+        ours = Rotation.create_group(g, axis=axis)
+        ref = SciRot.create_group(g, axis=axis)
+        assert _canon_set(ours.as_quat()) == _canon_set(ref.as_quat()), (g, axis)
+
+
+def test_create_group_validation():
+    with pytest.raises(ValueError):
+        Rotation.create_group("Q3")
+    with pytest.raises(ValueError):
+        Rotation.create_group("C0")
+    with pytest.raises(ValueError):
+        Rotation.create_group("I", axis="w")
+    with pytest.raises(ValueError):
+        Rotation.create_group(5)
