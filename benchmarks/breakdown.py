@@ -69,6 +69,58 @@ def main():
     results["decoder"] = dt * 1e3
     print(f"decoder: {dt*1e3:.2f} ms/batch{BATCH}", flush=True)
 
+    # --- serving unwarp stages (the argmax inverse-warp tail) ---
+    from fovealseg_tpu.core.grid import landing_scatter_max
+    from fovealseg_tpu.core.unwarp import (
+        _nearest_payload,
+        halfpixel_avg,
+        jfa_rounds_from_grid,
+        unwarp_argmax_scatter,
+    )
+
+    seg_hw = (640, 640)
+
+    def upto_pred(v, x, f):
+        xs = module.apply(v, x, f, method=DeformSegmentation.saliency)
+        grid, _ = module.apply(v, xs, method=DeformSegmentation.grids)
+        from fovealseg_tpu.core.warp import grid_sample
+
+        xsamp = grid_sample(x, grid).astype(module.dtype)
+        feat = module.apply(v, xsamp, method=lambda m, t: m.encoder(t, train=False))[0]
+        pred = module.apply(v, feat, method=lambda m, t: m.decoder([t], train=False))
+        return pred.astype(jnp.float32), grid
+
+    pred0, grid0 = jax.jit(upto_pred)(variables, x, f)
+    th, tw, c = pred0.shape[1], pred0.shape[2], pred0.shape[3]
+    m_pow = 1 << max(1, (c - 1).bit_length())
+    cls0 = jnp.argmax(halfpixel_avg(pred0), axis=-1).astype(jnp.int32)
+    flat_task = jnp.broadcast_to(
+        jnp.arange(th * tw, dtype=jnp.int32)[None], (BATCH, th * tw))
+    combined0 = flat_task * m_pow + cls0.reshape(BATCH, th * tw)
+    canvas0 = jax.jit(lambda g, comb: landing_scatter_max(g, seg_hw, comb))(
+        grid0, combined0)
+    rounds0 = jax.jit(lambda g: jfa_rounds_from_grid(g, seg_hw))(grid0)
+
+    unwarp_stages = {
+        "serving_full": lambda v, a, b: module.apply(
+            v, a, b, argmax_labels=True, method=DeformSegmentation.infer
+        )["pred_label"],
+        "unwarp_halfpix_argmax": lambda v, a, b: jnp.argmax(
+            halfpixel_avg(pred0), axis=-1
+        ).astype(jnp.int32),
+        "unwarp_scatter": lambda v, a, b: landing_scatter_max(
+            grid0, seg_hw, combined0),
+        "unwarp_jfa": lambda v, a, b: _nearest_payload(
+            canvas0 >= 0, jnp.where(canvas0 >= 0, canvas0 % m_pow, 0),
+            None, rounds0, cls_bits=m_pow.bit_length() - 1),
+        "unwarp_total": lambda v, a, b: unwarp_argmax_scatter(
+            pred0, grid0, seg_hw, None, rounds0),
+    }
+    for name, fn in unwarp_stages.items():
+        dt = time_chained(fn, variables, x, f)
+        results[name] = dt * 1e3
+        print(f"{name}: {dt*1e3:.2f} ms/batch{BATCH}", flush=True)
+
     print(json.dumps(results))
 
 
