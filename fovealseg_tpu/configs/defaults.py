@@ -209,6 +209,11 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.mesh_shape = (0,)  # 0 → use all devices on the data axis
     _C.TPU.donate_state = True
     _C.TPU.jfa_iters = 0  # 0 → auto (ceil(log2(max(segSize))))
+    _C.TPU.scoremap_gather_bf16 = False  # opt-in: the full-res SCORE-MAP
+    # inverse warp gathers bf16 rows instead of f32 (measured -12.5% on the
+    # gather, the path's largest stage; scores round to bf16, ~1.6e-2 abs on
+    # unit-scale logits). The default stays bit-exact; the argmax serving
+    # path is unaffected either way (it gathers int32 class ids).
     _C.TPU.profile_dir = ""  # non-empty → capture a jax.profiler device
     # trace of the first training epoch into this directory (SURVEY.md §5)
     _C.TPU.compile_cache_dir = "~/.cache/jax_fovealseg"  # persistent XLA

@@ -217,6 +217,7 @@ def unwarp_prediction_fast(
     valid: jnp.ndarray,
     num_iters: int | None = None,
     rounds: jnp.ndarray | None = None,
+    gather_bf16: bool = False,
 ) -> jnp.ndarray:
     """Exact fast inverse warp for the reference's own inverse grid.
 
@@ -228,14 +229,21 @@ def unwarp_prediction_fast(
     (up to float rounding) with
     ``unwarp_prediction(pred, inverse_grid(...)...,'nearest')``.
 
+    ``gather_bf16`` (TPU.scoremap_gather_bf16): round the half-pixel-averaged
+    scores to bf16 before the row gather — measured -12.5% on the gather, the
+    path's largest stage (benchmarks/gather_probe.py), at ~1.6e-2 abs error
+    on unit-scale logits. Off by default to keep the bit-exactness contract.
+
     pred: [B, th, tw, C]; task_idx/valid from core.grid.inverse_grid_index.
     """
     b, th, tw, c = pred.shape
     hs, ws = task_idx.shape[1], task_idx.shape[2]
     tidx = _nearest_payload(valid, task_idx, num_iters, rounds)  # [B, Hs, Ws]
     p2 = halfpixel_avg(pred).reshape(b, th * tw, c)
+    if gather_bf16:
+        p2 = p2.astype(jnp.bfloat16)
     out = _gather_rows_flat(p2, tidx.reshape(b, hs * ws))
-    return out.reshape(b, hs, ws, c)
+    return out.reshape(b, hs, ws, c).astype(pred.dtype)
 
 
 def unwarp_argmax_fast(

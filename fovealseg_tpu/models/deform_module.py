@@ -67,6 +67,9 @@ class DeformConfig:
     # input for efficient inference (eval.py F_Xlr path); 0 = off
     jfa_iters: int = 0  # TPU.jfa_iters: fixed JFA chain length; 0 = derive
     # the round count from the grid geometry at runtime (jfa_rounds_from_grid)
+    scoremap_gather_bf16: bool = False  # TPU.scoremap_gather_bf16: the
+    # score-map inverse warp gathers bf16 rows (-12.5% on the gather stage;
+    # scores round to bf16). Default off = bit-exact vs unwarp_prediction.
     # MODEL.gt_gradient family (models/models.py:735-773): detach the
     # saliency; with fix_gt_gradient replace it by the label-edge sampler
     gt_gradient: bool = False
@@ -100,6 +103,7 @@ class DeformConfig:
             uniform_sample=cfg.MODEL.uniform_sample,
             f_xlr_low_scale=cfg.VAL.F_Xlr_low_scale,
             jfa_iters=cfg.TPU.jfa_iters,
+            scoremap_gather_bf16=cfg.TPU.scoremap_gather_bf16,
             gt_gradient=cfg.MODEL.gt_gradient,
             fix_gt_gradient=cfg.MODEL.fix_gt_gradient,
             ignore_gt_labels=tuple(cfg.MODEL.ignore_gt_labels),
@@ -432,9 +436,11 @@ class DeformSegmentation(nn.Module):
             )
             pred_sampled = None
         elif c.rev_deform_interp == "nearest":
-            # exact fast path: payload JFA + one gather (core/unwarp.py)
+            # exact fast path: payload JFA + one gather (core/unwarp.py);
+            # TPU.scoremap_gather_bf16 opts into the cheaper rounded gather
             pred_sampled = unwarp_prediction_fast(
-                pred.astype(jnp.float32), task_idx, valid, jfa_iters, jfa_rounds
+                pred.astype(jnp.float32), task_idx, valid, jfa_iters, jfa_rounds,
+                gather_bf16=c.scoremap_gather_bf16,
             )
         else:
             pred_sampled = unwarp_prediction(

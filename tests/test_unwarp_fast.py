@@ -102,3 +102,15 @@ def test_pallas_dynamic_rounds_matches_static(rng):
         nearest_payload_pallas(valid, task_idx, interpret=True, rounds=jnp.int32(6))
     )
     np.testing.assert_array_equal(dyn, ref)
+
+
+def test_bf16_gather_flag_within_tolerance(rng):
+    # TPU.scoremap_gather_bf16: same values to bf16 rounding, f32 container
+    grid = _solver_grid(rng)
+    pred = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
+    tidx, valid = inverse_grid_index(grid, (48, 48))
+    exact = np.asarray(unwarp_prediction_fast(pred, tidx, valid))
+    rounded = unwarp_prediction_fast(pred, tidx, valid, gather_bf16=True)
+    assert rounded.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(rounded), exact, atol=2e-2)
+    assert np.abs(np.asarray(rounded) - exact).max() > 0  # actually rounded
