@@ -71,23 +71,37 @@ def make_batch(
 ) -> dict:
     """Returns dict(img_data [B,H,W,3], focus_point [B,2], seg_label [B,H,W],
     cls_label [B]) as float32/int32 numpy arrays (NHWC)."""
-    imgs = rng.uniform(0.0, 1.0, (batch, canvas, canvas, 3)).astype(np.float32)
-    masks = np.zeros((batch, canvas, canvas), dtype=np.float32)
-    focus = np.zeros((batch, 2), dtype=np.float32)
+    # fully vectorized across the batch: the original per-sample
+    # np.mgrid + boolean-index + np.nonzero loop cost ~19 ms/sample on a
+    # 1-core host (~300 ms/b16 — 2/3 of the host side of the input
+    # pipeline, benchmarks/input_pipeline.py); this form is ~5x faster with
+    # the same output contract (random ellipse instance, +0.3 brightened,
+    # gaze pixel strictly inside the mask)
+    imgs = rng.random((batch, canvas, canvas, 3), dtype=np.float32)
     cls = rng.integers(0, num_fg_class, (batch,)).astype(np.int32)
+    c = rng.integers(canvas // 4, 3 * canvas // 4, (batch, 2)).astype(np.float32)
+    r = rng.integers(canvas // 16, canvas // 6, (batch, 2)).astype(np.float32)
 
-    for b in range(batch):
-        # random ellipse instance
-        cy, cx = rng.integers(canvas // 4, 3 * canvas // 4, 2)
-        ry, rx = rng.integers(canvas // 16, canvas // 6, 2)
-        yy, xx = np.mgrid[0:canvas, 0:canvas]
-        inside = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
-        masks[b][inside] = 1.0
-        # brighten the instance so there is signal to segment
-        imgs[b][inside] = np.clip(imgs[b][inside] + 0.3, 0, 1)
-        ys, xs = np.nonzero(inside)
-        k = rng.integers(0, len(ys))
-        focus[b] = (ys[k] / canvas, xs[k] / canvas)
+    yy = np.arange(canvas, dtype=np.float32)[None, :, None]
+    xx = np.arange(canvas, dtype=np.float32)[None, None, :]
+    cy, cx = c[:, 0, None, None], c[:, 1, None, None]
+    ry, rx = r[:, 0, None, None], r[:, 1, None, None]
+    inside = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+    masks = inside.astype(np.float32)
+    # boolean-index update: instances cover a few % of the canvas, and a
+    # broadcast `clip(imgs + 0.3*mask[...,None])` measures 370 ms/b16 on
+    # this host (stride-0 channel broadcast) vs ~15 ms for the sparse form
+    imgs[inside] = np.clip(imgs[inside] + 0.3, 0.0, 1.0)
+
+    # uniform point inside the ellipse (polar sqrt sampling), radius shrunk
+    # so pixel rounding cannot push it outside — replaces the per-sample
+    # np.nonzero scan; the gaze-in-mask property is preserved exactly
+    t = rng.random(batch)
+    a = rng.random(batch) * 2.0 * np.pi
+    s = np.sqrt(t) * np.maximum(1.0 - 1.5 / r.min(axis=1), 0.0)
+    fy = np.rint(c[:, 0] + s * r[:, 0] * np.cos(a))
+    fx = np.rint(c[:, 1] + s * r[:, 1] * np.sin(a))
+    focus = np.stack([fy, fx], axis=1).astype(np.float32) / canvas
 
     return {
         "img_data": imgs,
