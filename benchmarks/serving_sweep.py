@@ -27,11 +27,16 @@ def build(arch="hrnetv2_nodownsp", fc_dim=960):
     return DeformSegmentation(config=cfg, dtype=jnp.bfloat16)
 
 
-def measure_serving(module, batch):
+def _setup(module, batch):
     x = jnp.zeros((batch, 640, 640, 3), jnp.float32)
     f = jnp.full((batch, 2), 0.5, jnp.float32)
     shapes = jax.eval_shape(module.init, {"params": jax.random.PRNGKey(0)}, x, f)
     variables = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+    return variables, x, f
+
+
+def measure_serving(module, batch):
+    variables, x, f = _setup(module, batch)
     dt = time_op(
         lambda x: module.apply(
             variables, x, f, argmax_labels=True, method=DeformSegmentation.infer
@@ -41,8 +46,51 @@ def measure_serving(module, batch):
     return dt
 
 
+def measure_serving_micro(module, batch, micro=8):
+    """The cli/infer.py micro-batched path: a ``batch``-frame request served
+    as ``batch//micro`` chunked executions at the measured-optimal micro
+    shape (chunks serialized inside one program — the device-side cost; the
+    serving loop's double-buffering hides the per-chunk dispatch)."""
+    variables, x, f = _setup(module, batch)
+
+    def fn(x):
+        outs = [
+            module.apply(
+                variables, x[j : j + micro], f[j : j + micro],
+                argmax_labels=True, method=DeformSegmentation.infer,
+            )["pred_label"]
+            for j in range(0, batch, micro)
+        ]
+        return jnp.concatenate(outs)
+
+    return time_op(fn, x, n1=5, n2=25)
+
+
+def memory_analysis(module, batch):
+    """XLA compile-time memory breakdown of the serving executable — the
+    evidence for/against the VMEM-working-set hypothesis behind the b8->b32
+    throughput falloff (round-3 verdict weak #4)."""
+    variables, x, f = _setup(module, batch)
+    compiled = jax.jit(
+        lambda x: module.apply(
+            variables, x, f, argmax_labels=True, method=DeformSegmentation.infer
+        )["pred_label"]
+    ).lower(x).compile()
+    m = compiled.memory_analysis()
+    if m is None:
+        return None
+    return {
+        "temp_MB": round(m.temp_size_in_bytes / 2**20, 1),
+        "argument_MB": round(m.argument_size_in_bytes / 2**20, 1),
+        "output_MB": round(m.output_size_in_bytes / 2**20, 1),
+        "peak_MB": round(
+            getattr(m, "peak_memory_in_bytes", 0) / 2**20, 1
+        ) if getattr(m, "peak_memory_in_bytes", None) else None,
+    }
+
+
 def main():
-    out = {"batch_sweep": {}, "encoders": {}}
+    out = {"batch_sweep": {}, "micro_batched": {}, "memory": {}, "encoders": {}}
     flagship = build()
     for b in (1, 2, 4, 8, 16, 32):
         dt = measure_serving(flagship, b)
@@ -51,6 +99,16 @@ def main():
             "fps": round(b / dt, 1),
         }
         print(f"b{b}: {dt*1e3:.2f} ms, {b/dt:.1f} fps", flush=True)
+    for b in (16, 32):
+        dt = measure_serving_micro(flagship, b)
+        out["micro_batched"][b] = {
+            "ms_per_batch": round(dt * 1e3, 2),
+            "fps": round(b / dt, 1),
+        }
+        print(f"b{b} micro8: {dt*1e3:.2f} ms, {b/dt:.1f} fps", flush=True)
+    for b in (8, 32):
+        out["memory"][b] = memory_analysis(flagship, b)
+        print(f"b{b} memory: {out['memory'][b]}", flush=True)
     for arch, fc_dim in (
         ("segformer", 1024),
         ("deeplab", 960),

@@ -42,6 +42,12 @@ def main():
                         rows[int(r["step"])] = r
                     meta.update(data)
     meta["history"] = [rows[k] for k in sorted(rows)]
+    # meta.update(data) above keeps only the LAST segment's start_step/steps;
+    # recompute both from the merged rows so the metadata describes the
+    # whole spliced range (advisor r3 finding)
+    if rows:
+        meta["start_step"] = min(rows)
+        meta["steps"] = max(rows)
     meta["spliced_from"] = [p.split("/")[-1] for p in logs]
     with open(out_path, "w") as fh:
         json.dump(meta, fh)

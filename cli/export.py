@@ -49,8 +49,9 @@ def main(argv=None):
     parser.add_argument("--torch-epoch", default="last")
     parser.add_argument("--allow-random", action="store_true",
                         help="permit exporting RANDOMLY INITIALIZED weights "
-                             "(smoke tests only; refused otherwise for "
-                             "--format torch)")
+                             "(smoke tests only; refused otherwise for every "
+                             "--format — a graph-inspection stablehlo export "
+                             "needs the flag too)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
 

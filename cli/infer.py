@@ -51,6 +51,20 @@ def _iter_image_batches(image_dir, gaze_map, canvas, batch):
         yield chunk, np.stack(imgs), np.stack(gazes)
 
 
+def _microbatches(batches, micro):
+    """Split each (names, imgs, gazes) batch into chunks of ``micro`` frames.
+
+    The serving sweep shows throughput peaks at b8 and loses ~11% by b32
+    (PERF.md); feeding large requests through b8 chunks keeps the compiled
+    shape at the measured optimum while the double-buffered loop still
+    overlaps chunk k+1's dispatch with chunk k's compute. ``names`` is the
+    unpadded real-frame list, so trailing chunks may carry fewer (or zero)
+    names — exactly the frames the caller gets back."""
+    for names, imgs, gazes in batches:
+        for j in range(0, len(imgs), micro):
+            yield names[j : j + micro], imgs[j : j + micro], gazes[j : j + micro]
+
+
 def _synthetic_batches(num_batches, canvas, batch, seed=304):
     import numpy as np
 
@@ -69,6 +83,13 @@ def main(argv=None):
     parser.add_argument("--out", default=None, help="write masks here")
     parser.add_argument("--png", action="store_true", help="also write palette previews")
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--microbatch", type=int, default=0,
+                        help="split each batch into chunks of this size through "
+                             "the double-buffered loop (0 = auto: chunks of 8, "
+                             "the measured-optimal serving micro-batch — the "
+                             "b8->b32 sweep loses ~11%% fps monolithically; "
+                             "pass --microbatch with --batch to disable: "
+                             "--microbatch == --batch runs monolithic)")
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard each batch over N devices (0 = single device)")
     parser.add_argument("--spatial", type=int, default=0,
@@ -192,6 +213,15 @@ def main(argv=None):
     else:
         batches = _synthetic_batches(args.num_batches, args.canvas, args.batch)
 
+    # micro-batching: requests larger than the measured-optimal micro-batch
+    # run as chunks (auto: 8); monolithic fallback when the batch does not
+    # divide evenly (or a chunk would not divide over --mesh)
+    micro = args.microbatch or min(args.batch, 8)
+    if micro > args.batch or args.batch % micro or (args.mesh > 1 and micro % args.mesh):
+        micro = args.batch
+    if micro != args.batch:
+        batches = _microbatches(batches, micro)
+
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 
@@ -220,6 +250,8 @@ def main(argv=None):
         "seconds": round(dt, 3),
         "fps": round(n_frames / dt, 2),
         "canvas": args.canvas,
+        "batch": args.batch,
+        "microbatch": micro,
         "task": list(dcfg.task_hw_infer),
         "note": "post-compile wall clock incl. host IO; bench.py reports the device-only rate",
     }))

