@@ -20,6 +20,13 @@ residual = 1 - fullres_model_iou then splits as
 
 Usage: SAVE_DIR=/tmp/conv51_staged_ckpt python benchmarks/residual_attribution.py
 Knobs mirror convergence_eval.py (TRAIN_BATCH, NUM_FG, EVAL_BATCHES).
+
+TASK_EVAL=N evaluates the SAME 80x80-trained checkpoint with the inference
+task grid at NxN (TRAIN.task_input_size_eval — the reference's
+input_size_net_infer re_initialise surface, models/models.py:557-592): the
+convs are resolution-agnostic, the grid solver rebuilds the grid at the eval
+size, and a larger task grid decimates less -> higher intrinsic ceiling.
+This is the cheapest at-scale lever against the warp floor (no retraining).
 """
 
 import json
@@ -46,6 +53,7 @@ CANVAS = 640
 NUM_FG = int(os.environ.get("NUM_FG", "50"))
 BG = NUM_FG
 N_BATCHES = int(os.environ.get("EVAL_BATCHES", "32"))
+TASK_EVAL = int(os.environ.get("TASK_EVAL", "0"))  # 0 = train size (80)
 
 
 def main():
@@ -53,6 +61,8 @@ def main():
     cfg = get_default_cfg()
     cfg.DATASET.num_class = NUM_FG + 1
     cfg.TRAIN.task_input_size = (80, 80)
+    if TASK_EVAL:
+        cfg.TRAIN.task_input_size_eval = (TASK_EVAL, TASK_EVAL)
     cfg.TRAIN.saliency_input_size = (80, 80)
     cfg.MODEL.gaussian_radius = 45
     cfg.MODEL.arch_encoder = "hrnetv2_nodownsp"
@@ -112,6 +122,7 @@ def main():
                      for i in range(N_BATCHES)])
     res = {
         "step": step0,
+        "task_eval": TASK_EVAL or 80,
         "eval_batches": N_BATCHES,
         "samples": N_BATCHES * BATCH,
         "fullres_model_iou_mean": float(rows[:, 0].mean()),

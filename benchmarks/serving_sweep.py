@@ -19,9 +19,10 @@ from benchmarks.timing import time_op
 from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
 
 
-def build(arch="hrnetv2_nodownsp", fc_dim=960):
+def build(arch="hrnetv2_nodownsp", fc_dim=960, task_infer=80):
     cfg = DeformConfig(
-        task_hw=(80, 80), task_hw_infer=(80, 80), saliency_hw=(80, 80),
+        task_hw=(80, 80), task_hw_infer=(task_infer, task_infer),
+        saliency_hw=(80, 80),
         gaussian_radius=45, num_class=51, arch_encoder=arch, fc_dim=fc_dim,
     )
     return DeformSegmentation(config=cfg, dtype=jnp.bfloat16)
@@ -109,6 +110,12 @@ def main():
     for b in (8, 32):
         out["memory"][b] = memory_analysis(flagship, b)
         print(f"b{b} memory: {out['memory'][b]}", flush=True)
+    # accuracy/throughput knob: inference grid at 128 (TRAIN.task_input_size
+    # _eval) buys +0.042 fg IoU on the staged checkpoint (PERF.md residual
+    # attribution) at (128/80)^2 = 2.56x task-domain encoder FLOPs
+    dt = measure_serving(build(task_infer=128), 8)
+    out["task_eval_128"] = {"ms_per_batch8": round(dt * 1e3, 2), "fps": round(8 / dt, 1)}
+    print(f"task128 b8: {dt*1e3:.2f} ms, {8/dt:.1f} fps", flush=True)
     for arch, fc_dim in (
         ("segformer", 1024),
         ("deeplab", 960),
