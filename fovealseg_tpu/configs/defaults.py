@@ -237,6 +237,13 @@ def get_default_cfg() -> CfgNode:
     # {saliency,compress,encoder,decoder}_epoch_{N|last}.pth checkpoint set
     # (train_deform_semantic.py:166-208) beside the orbax dirs on the same
     # cadence, so reference-side tooling can consume checkpoints live.
+    _C.TPU.async_checkpoint = True  # overlapped orbax saves: the epoch-end
+    # checkpoint blocks only for the device->host snapshot and serializes to
+    # disk in a background thread while the next epoch trains (safe with
+    # donate_state — orbax snapshots before returning). Also the sharded-
+    # state-safe path: device-resident (incl. 2-D-mesh-sharded) TrainStates
+    # save without a full host gather. False restores the synchronous
+    # device_get + save parity behavior. Measured: benchmarks/ckpt_cost.py.
     _C.TPU.dropout_rng_impl = "rbg"  # PRNG for the per-step dropout streams.
     # HRNet carries Dropout(0.3) after every conv (reference lines 44-56), so
     # mask generation is on the critical path: threefry costs ~106 ms of the

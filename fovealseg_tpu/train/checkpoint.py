@@ -28,13 +28,56 @@ def _ocp():
     return ocp
 
 
+class AsyncSaver:
+    """Overlapping checkpoint writer (orbax AsyncCheckpointer).
+
+    ``save()`` blocks only for the device→host snapshot (orbax copies the
+    arrays before returning — safe with ``donate_argnums`` on the next step),
+    then serializes to disk in a background thread while training continues.
+    One in-flight save at a time: a new save (and ``wait()``/``close()``)
+    first drains the previous one. Accepts device-resident AND sharded
+    arrays — each process writes its addressable shards, which is the
+    multi-host/2-D-mesh-safe path the synchronous ``jax.device_get`` route
+    (full host gather on every host) is not.
+    """
+
+    def __init__(self):
+        self._ck = None
+
+    def _checkpointer(self):
+        if self._ck is None:
+            ocp = _ocp()
+            self._ck = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        return self._ck
+
+    def save(self, path: str, payload) -> None:
+        ocp = _ocp()
+        ck = self._checkpointer()
+        ck.wait_until_finished()
+        ck.save(path, args=ocp.args.StandardSave(payload), force=True)
+
+    def wait(self) -> None:
+        if self._ck is not None:
+            self._ck.wait_until_finished()
+
+    def close(self) -> None:
+        if self._ck is not None:
+            self._ck.close()
+            self._ck = None
+
+
 def save_checkpoint(
-    ckpt_dir: str, epoch: int, state, also_last: bool = True, only_last: bool = False
+    ckpt_dir: str, epoch: int, state, also_last: bool = True,
+    only_last: bool = False, saver: AsyncSaver | None = None
 ) -> None:
     """Persist a checkpoint. ``only_last=True`` writes just the ``epoch_last``
     copy — the reference's off-cadence behavior (between
     TRAIN.checkpoint_per_epoch epochs only the ``*_last.pth`` files are
-    refreshed, train_deform_semantic.py:166-208)."""
+    refreshed, train_deform_semantic.py:166-208).
+
+    ``saver`` (an :class:`AsyncSaver`) switches to overlapped async writes;
+    ``state`` may then be device-resident/sharded (no prior device_get
+    needed). Without it the save is synchronous (host state expected)."""
     ocp = _ocp()
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -44,14 +87,30 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    targets = []
+    if not only_last:
+        targets.append(os.path.join(ckpt_dir, f"epoch_{epoch}"))
+    if also_last or only_last:
+        targets.append(os.path.join(ckpt_dir, "epoch_last"))
+    if saver is not None:
+        for t in targets:
+            saver.save(t, payload)
+        return
     with ocp.StandardCheckpointer() as ck:
-        if not only_last:
-            ck.save(os.path.join(ckpt_dir, f"epoch_{epoch}"), payload, force=True)
-        if also_last or only_last:
-            ck.save(os.path.join(ckpt_dir, "epoch_last"), payload, force=True)
+        for t in targets:
+            ck.save(t, payload, force=True)
 
 
-def load_checkpoint(ckpt_dir: str, epoch, abstract_state) -> dict:
+def load_checkpoint(ckpt_dir: str, epoch, abstract_state, shardings=None) -> dict:
+    """Restore a checkpoint.
+
+    ``shardings`` (optional TrainState-shaped tree of ``jax.sharding.
+    Sharding``, e.g. from ``parallel.mesh.state_shardings_2d``) restores each
+    leaf DIRECTLY into its device shards — every process reads only its
+    addressable pieces, nothing is materialized host-side. Without it the
+    restore is host-side numpy (the single-host parity path)."""
+    import jax
+
     ocp = _ocp()
     name = str(epoch)
     if not name.startswith("epoch_"):
@@ -63,6 +122,19 @@ def load_checkpoint(ckpt_dir: str, epoch, abstract_state) -> dict:
         "opt_state": abstract_state.opt_state,
         "step": abstract_state.step,
     }
+    if shardings is not None:
+        sh = {
+            "params": shardings.params,
+            "batch_stats": shardings.batch_stats,
+            "opt_state": shardings.opt_state,
+            "step": shardings.step,
+        }
+        template = jax.tree.map(
+            lambda leaf, s: jax.ShapeDtypeStruct(
+                getattr(leaf, "shape", ()), getattr(leaf, "dtype", None), sharding=s
+            ),
+            template, sh,
+        )
     with ocp.StandardCheckpointer() as ck:
         return ck.restore(path, template)
 

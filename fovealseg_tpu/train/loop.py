@@ -230,6 +230,7 @@ def fit(
     writer = SummaryWriter(os.path.join(ckpt_dir, "tensorboard"))
     profile_dir = getattr(cfg.TPU, "profile_dir", "")
     profiled = False
+    saver = ckpt.AsyncSaver() if getattr(cfg.TPU, "async_checkpoint", True) else None
 
     for epoch0 in range(cfg.TRAIN.start_epoch, cfg.TRAIN.num_epoch):
         epoch = epoch0 + 1
@@ -256,23 +257,28 @@ def fit(
             if cfg.TRAIN.save_checkpoint and (
                 epoch % cfg.TRAIN.checkpoint_per_epoch == 0 or epoch == cfg.TRAIN.num_epoch
             ):
-                host_state = jax.device_get(state)
-                ckpt.save_checkpoint(ckpt_dir, epoch, host_state)
+                # async path: state goes to orbax device-resident (it
+                # snapshots before returning, then writes in background —
+                # overlapping the disk serialization with the next epoch);
+                # sync path keeps the host-gather parity behavior
+                save_state = state if saver is not None else jax.device_get(state)
+                ckpt.save_checkpoint(ckpt_dir, epoch, save_state, saver=saver)
                 if cfg.TPU.torch_ckpt_mirror:
                     # reference-format .pth mirror on the same cadence, so
                     # reference-side tooling can consume checkpoints live
                     ckpt.save_torch_checkpoint(
-                        ckpt_dir, epoch, host_state.params, host_state.batch_stats
+                        ckpt_dir, epoch, save_state.params, save_state.batch_stats
                     )
             elif cfg.TRAIN.save_checkpoint:
                 # off-cadence: refresh only epoch_last (reference keeps only
                 # the *_last copies between cadence epochs,
                 # train_deform_semantic.py:166-208)
-                host_state = jax.device_get(state)
-                ckpt.save_checkpoint(ckpt_dir, epoch, host_state, only_last=True)
+                save_state = state if saver is not None else jax.device_get(state)
+                ckpt.save_checkpoint(ckpt_dir, epoch, save_state, only_last=True,
+                                     saver=saver)
                 if cfg.TPU.torch_ckpt_mirror:
                     ckpt.save_torch_checkpoint(
-                        ckpt_dir, "last", host_state.params, host_state.batch_stats,
+                        ckpt_dir, "last", save_state.params, save_state.batch_stats,
                         also_last=False,
                     )
         if epoch % cfg.TRAIN.eval_per_epoch == 0 or cfg.TRAIN.skip_train_for_eval:
@@ -286,4 +292,6 @@ def fit(
         if cfg.TRAIN.skip_train_for_eval:
             break
     writer.close()
+    if saver is not None:
+        saver.close()  # drain the in-flight background write
     return state
