@@ -73,13 +73,18 @@ EVAL_BATCHES = int(os.environ.get("EVAL_BATCHES", "4"))
 # so the curve is legible in a few thousand steps
 NUM_FG = int(os.environ.get("NUM_FG", "10"))
 BG = NUM_FG
+# TASK: train/infer task grid size (TRAIN.task_input_size; saliency stays
+# 80). Param shapes are task-size-independent, so a carry trained at 80 can
+# be fine-tuned at 128 (the residual-attribution experiment's training-side
+# follow-up); step cost scales ~(TASK/80)^2.
+TASK = int(os.environ.get("TASK", "80"))
 
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     cfg = get_default_cfg()
     cfg.DATASET.num_class = NUM_FG + 1
-    cfg.TRAIN.task_input_size = (80, 80)
+    cfg.TRAIN.task_input_size = (TASK, TASK)
     cfg.TRAIN.saliency_input_size = (80, 80)
     cfg.MODEL.gaussian_radius = 45
     cfg.MODEL.arch_encoder = "hrnetv2_nodownsp"
