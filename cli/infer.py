@@ -143,9 +143,24 @@ def main(argv=None):
         spatial_sh = NamedSharding(smesh, P(None, "spatial"))
     module = DeformSegmentation(config=dcfg, dtype=dtype, spatial_sharding=spatial_sh)
 
-    x0 = jnp.zeros((args.batch, args.canvas, args.canvas, 3), jnp.float32)
-    f0 = jnp.full((args.batch, 2), 0.5, jnp.float32)
-    variables = module.init({"params": jax.random.PRNGKey(cfg.TRAIN.seed)}, x0, f0)
+    # micro-batching: requests larger than the measured-optimal micro-batch
+    # run as chunks (auto: 8); monolithic fallback when the batch does not
+    # divide evenly (or a chunk would not divide over --mesh). Decided
+    # BEFORE init so param init and the quantization probe trace at the
+    # micro shape — params are batch-independent, and a b32 640px init
+    # would OOM the 16G HBM before the serving loop ever chunked it.
+    micro = args.microbatch or min(args.batch, 8)
+    if micro > args.batch or args.batch % micro or (args.mesh > 1 and micro % args.mesh):
+        micro = args.batch
+
+    x0 = jnp.zeros((micro, args.canvas, args.canvas, 3), jnp.float32)
+    f0 = jnp.full((micro, 2), 0.5, jnp.float32)
+    # jitted init: eager op-by-op init materializes every forward
+    # intermediate concurrently under async dispatch and can exhaust HBM at
+    # the flagship 640px shapes; one compiled program has proper liveness
+    variables = jax.jit(module.init)(
+        {"params": jax.random.PRNGKey(cfg.TRAIN.seed)}, x0, f0
+    )
     params, stats = variables["params"], variables.get("batch_stats", {})
     if args.torch_ckpt:
         from fovealseg_tpu.train.checkpoint import load_torch_checkpoint
@@ -213,12 +228,6 @@ def main(argv=None):
     else:
         batches = _synthetic_batches(args.num_batches, args.canvas, args.batch)
 
-    # micro-batching: requests larger than the measured-optimal micro-batch
-    # run as chunks (auto: 8); monolithic fallback when the batch does not
-    # divide evenly (or a chunk would not divide over --mesh)
-    micro = args.microbatch or min(args.batch, 8)
-    if micro > args.batch or args.batch % micro or (args.mesh > 1 and micro % args.mesh):
-        micro = args.batch
     if micro != args.batch:
         batches = _microbatches(batches, micro)
 
