@@ -270,10 +270,14 @@ def make_eval_step(module, lcfg: LossConfig, axis_name: Optional[str] = None):
 
 
 def init_state(module, tx, rng, sample_batch) -> TrainState:
-    variables = module.init(
+    # jit the init: eager op-by-op init materializes every forward
+    # intermediate concurrently under async dispatch — at the flagship
+    # 640px shapes that can exhaust the 16G HBM (observed in cli/infer
+    # before the same fix); one compiled program has proper buffer liveness
+    variables = jax.jit(module.init)(
         {"params": rng, "dropout": rng},
-        sample_batch["img_data"],
-        sample_batch["focus_point"],
+        jnp.asarray(sample_batch["img_data"]),
+        jnp.asarray(sample_batch["focus_point"]),
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
