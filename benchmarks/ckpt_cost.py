@@ -59,14 +59,18 @@ def main():
 
     res = {"state_GiB": round(nbytes, 2)}
 
-    # --- sync path (round-3 loop behavior) ---
+    # Both paths measured at the loop's REAL on-cadence behavior: one epoch
+    # writes BOTH epoch_N and epoch_last (train_deform_semantic.py:166-208
+    # semantics). Sync writes twice after one device_get; async snapshots
+    # once, backgrounds the write, and mirrors epoch_last by a deferred
+    # host directory copy (AsyncSaver copy_to).
     d = os.path.join(save_dir, "sync")
     shutil.rmtree(d, ignore_errors=True)
     t0 = time.perf_counter()
     host_state = jax.device_get(state)
     t_get = time.perf_counter() - t0
     t0 = time.perf_counter()
-    ckpt.save_checkpoint(d, 1, host_state, also_last=False)
+    ckpt.save_checkpoint(d, 1, host_state)
     t_save = time.perf_counter() - t0
     res["sync"] = {
         "device_get_s": round(t_get, 1),
@@ -82,9 +86,9 @@ def main():
     saver = ckpt.AsyncSaver()
     try:
         t0 = time.perf_counter()
-        ckpt.save_checkpoint(d, 1, state, also_last=False, saver=saver)
+        ckpt.save_checkpoint(d, 1, state, saver=saver)
         t_block = time.perf_counter() - t0  # what the train loop waits
-        saver.wait()
+        saver.wait()  # background write + epoch_last mirror copy
         t_total = time.perf_counter() - t0
     finally:
         saver.close()

@@ -43,6 +43,7 @@ class AsyncSaver:
 
     def __init__(self):
         self._ck = None
+        self._pending_copy: tuple[str, str] | None = None
 
     def _checkpointer(self):
         if self._ck is None:
@@ -50,20 +51,49 @@ class AsyncSaver:
             self._ck = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         return self._ck
 
-    def save(self, path: str, payload) -> None:
+    def _do_pending_copy(self) -> None:
+        # materialize the deferred epoch_last mirror: a host disk->disk
+        # directory copy of the finished write — NOT a second device
+        # snapshot (a naive second save() would re-snapshot the whole
+        # TrainState and double the blocking cost of on-cadence epochs)
+        if self._pending_copy is None:
+            return
+        import shutil
+
+        src, dst = self._pending_copy
+        self._pending_copy = None
+        tmp = dst + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(src, tmp)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(tmp, dst)
+
+    def save(self, path: str, payload, copy_to: str | None = None) -> None:
+        """Snapshot + background-write ``payload`` to ``path``; optionally
+        mirror the finished checkpoint to ``copy_to`` (e.g. ``epoch_last``)
+        by directory copy at the next drain point (next save / wait /
+        close) — one device snapshot per epoch regardless of targets.
+        Crash window: ``copy_to`` lags until the next drain, so a crash
+        mid-epoch can leave ``epoch_last`` one save stale while ``path``
+        itself is durable (auto-resume then loses at most that epoch)."""
         ocp = _ocp()
         ck = self._checkpointer()
         ck.wait_until_finished()
+        self._do_pending_copy()
         ck.save(path, args=ocp.args.StandardSave(payload), force=True)
+        if copy_to is not None:
+            self._pending_copy = (path, copy_to)
 
     def wait(self) -> None:
         if self._ck is not None:
             self._ck.wait_until_finished()
+        self._do_pending_copy()
 
     def close(self) -> None:
         if self._ck is not None:
             self._ck.close()
             self._ck = None
+        self._do_pending_copy()
 
 
 def save_checkpoint(
@@ -87,15 +117,18 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    targets = []
-    if not only_last:
-        targets.append(os.path.join(ckpt_dir, f"epoch_{epoch}"))
-    if also_last or only_last:
-        targets.append(os.path.join(ckpt_dir, "epoch_last"))
+    epoch_path = os.path.join(ckpt_dir, f"epoch_{epoch}")
+    last_path = os.path.join(ckpt_dir, "epoch_last")
     if saver is not None:
-        for t in targets:
-            saver.save(t, payload)
+        # one snapshot+write; epoch_last mirrors by deferred directory copy
+        if only_last:
+            saver.save(last_path, payload)
+        else:
+            saver.save(epoch_path, payload,
+                       copy_to=last_path if also_last else None)
         return
+    targets = ([] if only_last else [epoch_path]) + (
+        [last_path] if also_last or only_last else [])
     with ocp.StandardCheckpointer() as ck:
         for t in targets:
             ck.save(t, payload, force=True)
