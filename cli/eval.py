@@ -219,6 +219,23 @@ def main(argv=None):
                 PILImage.fromarray(im_vis).save(
                     os.path.join(rdir, f"batch{bi}_sample{i}.png"))
 
+    # Reference-exact 'tri' (the defaults.py default interp): replace the
+    # in-graph Gaussian-splat approximation of fillMissingValues with the
+    # Delaunay-barycentric fill — host plan per sample (native Bowyer-Watson
+    # + barycentric find_simplex, /root/reference/interp2d.py:14-91) and a
+    # jitted on-device gather+matmul blend. TPU.tri_exact=False keeps the
+    # all-device splat (error envelope: tests/test_tri_parity.py).
+    tri_exact = (
+        cfg.MODEL.rev_deform_interp == "tri"
+        and cfg.MODEL.uniform_sample == ""
+        and bool(cfg.TPU.tri_exact)
+    )
+    if tri_exact:
+        from fovealseg_tpu.native.interp2d import unwarp_prediction_tri_device
+
+        log.info("tri_exact: Delaunay-barycentric hole fill active "
+                 "(TPU.tri_exact=False for the all-device splat)")
+
     inter_sum = None
     union_sum = None
     acc_m, n = 0.0, 0
@@ -233,6 +250,12 @@ def main(argv=None):
         cls = np.asarray(batch["cls_label"]).reshape(-1)
         gt = (y * cls[:, None, None] + (1 - y) * bg).astype(np.int64)
         out = infer(params, stats, x, f, jnp.asarray(gt))
+        if tri_exact:
+            out = dict(out)
+            out["pred_sampled"] = unwarp_prediction_tri_device(
+                out["pred"], out["grid_inv"], ~np.asarray(out["unfilled_mask"])
+            )
+            out.pop("pred_label", None)  # re-derive argmax from the exact fill
         if "pred_label" in out:
             pred = np.asarray(out["pred_label"], np.int64)
         else:

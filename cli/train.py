@@ -253,8 +253,29 @@ def main(argv=None):
         cfg.TRAIN.start_epoch = int(
             np.asarray(restored["step"]) // max(cfg.TRAIN.epoch_iters, 1)
         )
-        log.info("auto-resume: epoch_last found, start_epoch=%d",
-                 cfg.TRAIN.start_epoch)
+        # The AsyncSaver mirrors epoch_last by a DEFERRED directory copy
+        # (drained at the next save), so a crash between epoch_N's durable
+        # orbax write and that drain leaves epoch_last one save stale.
+        # Recover the newer work: if a numbered epoch_* directory beats the
+        # epoch epoch_last maps to, restore from it instead.
+        numbered = []
+        for d in os.listdir(cfg.DIR):
+            if d.startswith("epoch_") and d[6:].isdigit() and os.path.isdir(
+                    os.path.join(cfg.DIR, d)):
+                numbered.append(int(d[6:]))
+        if numbered and max(numbered) > cfg.TRAIN.start_epoch:
+            try:
+                newer = ckpt.load_checkpoint(cfg.DIR, max(numbered), state)
+                restored = newer
+                cfg.TRAIN.start_epoch = int(
+                    np.asarray(restored["step"]) // max(cfg.TRAIN.epoch_iters, 1)
+                )
+                log.info("auto-resume: epoch_%d is newer than epoch_last, "
+                         "using it", max(numbered))
+            except Exception as e:  # partial/corrupt write: keep epoch_last
+                log.warning("auto-resume: epoch_%d unreadable (%s), "
+                            "keeping epoch_last", max(numbered), e)
+        log.info("auto-resume: start_epoch=%d", cfg.TRAIN.start_epoch)
     # install the restored state whenever a checkpoint was loaded — an
     # auto-resume whose step maps to epoch 0 (loader shorter than
     # epoch_iters) must still keep the restored weights, not re-init

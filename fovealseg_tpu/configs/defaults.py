@@ -244,6 +244,13 @@ def get_default_cfg() -> CfgNode:
     # state-safe path: device-resident (incl. 2-D-mesh-sharded) TrainStates
     # save without a full host gather. False restores the synchronous
     # device_get + save parity behavior. Measured: benchmarks/ckpt_cost.py.
+    _C.TPU.tri_exact = True  # MODEL.rev_deform_interp='tri' eval fidelity:
+    # True (default) runs the reference-exact Delaunay-barycentric hole fill
+    # (host plan via the native library + one on-device gather+matmul blend,
+    # native/interp2d.py::unwarp_prediction_tri_device — matches
+    # /root/reference/interp2d.py:14-91 to float tolerance). False keeps the
+    # all-device Gaussian-splat approximation (core/unwarp.py::
+    # fill_values_splat; error envelope pinned in tests/test_tri_parity.py).
     _C.TPU.dropout_rng_impl = "rbg"  # PRNG for the per-step dropout streams.
     # HRNet carries Dropout(0.3) after every conv (reference lines 44-56), so
     # mask generation is on the critical path: threefry costs ~106 ms of the

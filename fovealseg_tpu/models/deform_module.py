@@ -23,6 +23,7 @@ returned tensors); the full-res inverse-warp inference path is ``infer()``
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -122,6 +123,7 @@ class DeformConfig:
         return GridSolver(grid_h, grid_w, pad_x, int(ap * pad_x), float(self.gaussian_radius))
 
 
+@functools.lru_cache(maxsize=8)
 def _pretrain_pool_operators(task_hw, saliency_hw):
     """Stacked pool->upsample operators for the Recasens pretrain
     augmentation (models/models.py:911-917): for each s in

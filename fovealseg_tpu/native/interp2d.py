@@ -96,6 +96,89 @@ def fill_missing_tri(values: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return out
 
 
+def build_fill_plan(valid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-canvas 'tri' fill plan over FLAT canvas indices.
+
+    valid: [H, W] bool. Returns (corner [H*W, 3] int32, weight [H*W, 3]
+    float32) such that, for ``v = (sampled * valid)`` flattened to [H*W, C],
+    ``out = (v[corner] * weight[..., None]).sum(1)`` reproduces
+    :func:`fill_missing_tri` at invalid pixels and is the identity at valid
+    pixels (corner row = own index, weight (1,0,0)). Because the plan indexes
+    the *masked* sampled image, the reference's forced-zero invalid-corner
+    values (models/models.py:159-286) fall out automatically. The plan is
+    pure hole-geometry data — the on-device blend (one gather + a 3-wide
+    matmul) is jax-jittable and differentiable w.r.t. values, matching the
+    reference 'tri' gradient contract (interp2d.py:84-89)."""
+    h, w = valid.shape
+    flat = np.arange(h * w, dtype=np.int32)
+    corner = np.zeros((h * w, 3), dtype=np.int32)
+    weight = np.zeros((h * w, 3), dtype=np.float32)
+    corner[:, 0] = flat
+    weight[:, 0] = 1.0
+    if valid.all():
+        return corner, weight
+    m = _border_valid_mask(valid)
+    pts = np.argwhere(m).astype(np.float64)  # (row, col)
+    flat_pts = (pts[:, 0] * w + pts[:, 1]).astype(np.int32)
+    c_local, wgt = build_interp_plan(pts, h, w)
+    inv = ~valid.ravel()
+    corner[inv] = flat_pts[c_local[inv]]
+    weight[inv] = wgt[inv]
+    return corner, weight
+
+
+def unwarp_prediction_tri_device(pred, grid_inv, valid):
+    """Production 'tri' inverse warp: host Delaunay plan + on-device blend.
+
+    Same result as :func:`unwarp_prediction_tri` (the per-sample host
+    oracle), but only the PLAN (Delaunay + barycentric weights over the hole
+    geometry) is computed host-side; the bilinear inverse-warp gather and the
+    3-corner blend run on device as one jitted gather+matmul. Returns a jax
+    array [B, Hs, Ws, C]. The eval CLI uses this for
+    ``MODEL.rev_deform_interp='tri'`` (the reference default,
+    config/defaults.py:60) when ``TPU.tri_exact`` is on."""
+    import jax.numpy as jnp
+
+    sample_fn, blend_fn = _tri_device_fns()
+    b = pred.shape[0]
+    hs, ws = grid_inv.shape[1], grid_inv.shape[2]
+    safe = jnp.where(jnp.isnan(jnp.asarray(grid_inv)), 0.0, jnp.asarray(grid_inv))
+    sampled = sample_fn(jnp.asarray(pred, jnp.float32), safe, jnp.asarray(valid))
+    va_host = np.asarray(valid)
+    plans = [build_fill_plan(va_host[i]) for i in range(b)]
+    corner = jnp.asarray(np.stack([c for c, _ in plans]))
+    weight = jnp.asarray(np.stack([w for _, w in plans]))
+    return blend_fn(sampled, corner, weight).reshape(b, hs, ws, pred.shape[-1])
+
+
+_TRI_FNS: list = []
+
+
+def _tri_device_fns():
+    if _TRI_FNS:
+        return _TRI_FNS[0]
+    import jax
+    import jax.numpy as jnp
+
+    from fovealseg_tpu.core.warp import grid_sample
+
+    @jax.jit
+    def sample_fn(pred, grid_safe, valid):
+        s = grid_sample(pred, grid_safe)
+        return s * valid[..., None].astype(s.dtype)
+
+    @jax.jit
+    def blend_fn(sampled, corner, weight):
+        b, hs, ws, c = sampled.shape
+        off = jnp.arange(b, dtype=corner.dtype)[:, None, None] * (hs * ws)
+        g = sampled.reshape(b * hs * ws, c)[(corner + off).reshape(-1)]
+        g = g.reshape(b, hs * ws, 3, c)
+        return (g * weight[..., None]).sum(axis=2)
+
+    _TRI_FNS.append((sample_fn, blend_fn))
+    return _TRI_FNS[0]
+
+
 def unwarp_prediction_tri(pred, grid_inv, valid) -> np.ndarray:
     """Reference-exact rev_deform_interp='tri' inverse warp (host path):
     bilinear-sample the prediction through the inverse grid, then

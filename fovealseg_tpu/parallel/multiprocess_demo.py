@@ -32,6 +32,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 
 def _worker_main(argv=None) -> None:
@@ -204,12 +205,34 @@ def run_workers(num_processes: int = 2, local_devices: int = 4,
             cwd=repo, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
-    for pid, (p, o) in enumerate(zip(procs, outs)):
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"multiprocess worker {pid} failed (rc={p.returncode}):\n{o[-3000:]}"
-            )
+    # Drain with cleanup: a hang in one worker (e.g. stuck rendezvous) must
+    # not leak the sibling processes (they hold the coordinator port), and a
+    # fast-failing worker should abort the pair promptly instead of waiting
+    # for worker 0's full timeout.
+    outs: list = [None] * num_processes
+    deadline = time.monotonic() + timeout
+    try:
+        live = set(range(num_processes))
+        while live:
+            for pid in sorted(live):
+                p = procs[pid]
+                if p.poll() is not None:
+                    outs[pid] = p.communicate()[0]
+                    live.discard(pid)
+                    if p.returncode != 0:
+                        raise RuntimeError(
+                            f"multiprocess worker {pid} failed "
+                            f"(rc={p.returncode}):\n{outs[pid][-3000:]}"
+                        )
+            if live and time.monotonic() > deadline:
+                raise subprocess.TimeoutExpired(procs[min(live)].args, timeout)
+            if live:
+                time.sleep(0.2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     with open(f"{out_path}.0") as fh:
         res = json.load(fh)
     # cross-process agreement: the replicated metrics/params must be

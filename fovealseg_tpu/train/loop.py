@@ -175,20 +175,34 @@ def train_one_epoch(
     return state, summary
 
 
-def evaluate_1epoch(eval_step: Callable, state, batches: Iterable[dict]) -> dict:
+def evaluate_1epoch(eval_step: Callable, state, batches: Iterable[dict],
+                    drain_every: int = 16) -> dict:
     """Warped-domain eval (eval.py:372-451): mean loss/acc/edge + fg/bin
     accuracy family over the loader.
 
     Metric dicts stay ON DEVICE across the loop (same pending-metrics pattern
-    as train_one_epoch): one device_get at the end instead of one host sync
-    per batch — on the tunnel (~30 ms per host-visible call) a 32-batch eval
-    otherwise pays ~1 s of pure fixed cost and serializes dispatch."""
+    as train_one_epoch): one device_get per ``drain_every`` batches instead of
+    one host sync per batch — on the tunnel (~30 ms per host-visible call) a
+    32-batch eval otherwise pays ~1 s of pure fixed cost and serializes
+    dispatch. The periodic drain bounds in-flight work: an unbounded pending
+    list would queue every batch's device input buffers before any sync,
+    which at flagship 640px shapes on a long real-data loader can exhaust
+    HBM/host RAM."""
     keys = ("loss", "acc", "edge_loss", "acc_bin_fg", "acc_cls_fbg", "acc_bin_fbg")
-    pending = [eval_step(state.params, state.batch_stats, batch) for batch in batches]
     meters = {k: AverageMeter() for k in keys}
-    for mets in jax.device_get(pending):
-        for k in keys:
-            meters[k].update(float(mets[k]))
+    pending: list = []
+
+    def _drain():
+        for mets in jax.device_get(pending):
+            for k in keys:
+                meters[k].update(float(mets[k]))
+        pending.clear()
+
+    for batch in batches:
+        pending.append(eval_step(state.params, state.batch_stats, batch))
+        if len(pending) >= drain_every:
+            _drain()
+    _drain()
     return {k: m.average() for k, m in meters.items()}
 
 
@@ -234,7 +248,6 @@ def fit(
 
     for epoch0 in range(cfg.TRAIN.start_epoch, cfg.TRAIN.num_epoch):
         epoch = epoch0 + 1
-        cfg.TRAIN.global_epoch = epoch
         if not cfg.TRAIN.skip_train_for_eval:
             rng, sub = jax.random.split(rng)
             if profile_dir and not profiled:
@@ -265,9 +278,16 @@ def fit(
                 ckpt.save_checkpoint(ckpt_dir, epoch, save_state, saver=saver)
                 if cfg.TPU.torch_ckpt_mirror:
                     # reference-format .pth mirror on the same cadence, so
-                    # reference-side tooling can consume checkpoints live
+                    # reference-side tooling can consume checkpoints live.
+                    # Under the async saver the state is device-resident
+                    # (possibly GSPMD-sharded): gather it ONCE here so the
+                    # mirror's per-leaf np conversions don't each do a
+                    # serialized device->host fetch on the training thread
+                    # (the ~100s tunnel stall AsyncSaver removed).
+                    host = (jax.device_get(save_state)
+                            if saver is not None else save_state)
                     ckpt.save_torch_checkpoint(
-                        ckpt_dir, epoch, save_state.params, save_state.batch_stats
+                        ckpt_dir, epoch, host.params, host.batch_stats
                     )
             elif cfg.TRAIN.save_checkpoint:
                 # off-cadence: refresh only epoch_last (reference keeps only
@@ -277,8 +297,10 @@ def fit(
                 ckpt.save_checkpoint(ckpt_dir, epoch, save_state, only_last=True,
                                      saver=saver)
                 if cfg.TPU.torch_ckpt_mirror:
+                    host = (jax.device_get(save_state)
+                            if saver is not None else save_state)
                     ckpt.save_torch_checkpoint(
-                        ckpt_dir, "last", save_state.params, save_state.batch_stats,
+                        ckpt_dir, "last", host.params, host.batch_stats,
                         also_last=False,
                     )
         if epoch % cfg.TRAIN.eval_per_epoch == 0 or cfg.TRAIN.skip_train_for_eval:

@@ -74,8 +74,19 @@ def test_gspmd_2d_eval_matches_single_device(cutdown):
     assert n_model_sharded > 0, "no 960-ch kernel was model-sharded"
     pstep = make_gspmd_eval_step(module, lcfg, mesh, sstate)
     pm = pstep(sstate.params, sstate.batch_stats, batch)
-    for k in ("loss", "edge_loss"):
-        np.testing.assert_allclose(float(pm[k]), float(sm[k]), rtol=2e-4, err_msg=k)
+    # Tolerance derivation (measured, round 5): splitting the 960-ch head
+    # contraction over mp=2 reassociates each f32 dot into two 480-ch partial
+    # sums + psum, perturbing logits by <=5.7e-4 abs (~2.9e-4 rel at p99.9)
+    # vs the single-device forward; focal(gamma=5) at near-uniform init
+    # amplifies that to ~2.2e-4 rel on the summed loss. edge_loss bypasses
+    # the mp-sharded head and agrees to 8e-8, confirming the metric
+    # reductions themselves are exact. rtol 5e-4 = 2.3x the measured
+    # reassociation envelope, still ~200x below a real 960-concat/mp
+    # regression (which shifts the loss by >1e-1).
+    np.testing.assert_allclose(float(pm["loss"]), float(sm["loss"]),
+                               rtol=5e-4, err_msg="loss")
+    np.testing.assert_allclose(float(pm["edge_loss"]), float(sm["edge_loss"]),
+                               rtol=2e-4, err_msg="edge_loss")
     # accuracy metrics count argmax/threshold decisions: mp-shard reduction
     # order flips a handful of boundary pixels (measured ~4e-4 of 25.6k);
     # a real 960-concat/mp regression shifts these by >1e-1
