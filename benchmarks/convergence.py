@@ -95,6 +95,18 @@ def main():
     # materialize [B,640,640,51] f32 score maps (OOM at b16)
     cfg.MODEL.rev_deform_interp = "nearest"
     cfg.DATASET.segm_downsampling_rate = 1
+    # HIGHRES=1: the reference's MODEL.loss_at_high_res ablation
+    # (models_instance.py:686-786) — the seg loss is computed on the
+    # inverse-warped full-res prediction against the full-res label. The
+    # residual-attribution work (PERF.md) names this the open training-time
+    # lever for the ~0.03 saliency-localization residual. Costs a
+    # [B,640,640,C] f32 score materialization + its backward per step.
+    if bool(int(os.environ.get("HIGHRES", "0"))):
+        cfg.MODEL.loss_at_high_res = True
+        # keep the seg loss at 1/2 canvas res (segm_downsampling_rate=2 is
+        # the reference's own default, config/defaults.py) unless overridden:
+        # the full 640^2x51 f32 loss + backward does not fit 16G HBM at b16
+        cfg.DATASET.segm_downsampling_rate = int(os.environ.get("SEGM_DS", "2"))
     cfg.TRAIN.optim = "adam"
     # Effective group LR in the reference is lr_mult * 0.1 (decade-staged;
     # adjust_learning_rate, train_deform_semantic.py:302-345) — the defaults

@@ -119,11 +119,19 @@ def nearest_seed_jfa(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.nd
     return seed_y * w + seed_x
 
 
-def _use_pallas_jfa() -> bool:
+def _use_pallas_jfa(shape=None) -> bool:
     import os
 
     if os.environ.get("FOVEALSEG_PALLAS_JFA") == "0":
         return False
+    if shape is not None:
+        # Mosaic's tpu.dynamic_rotate requires vreg-aligned 2-D tiles:
+        # lane dim (W) a multiple of 128, sublane dim (H) a multiple of 8.
+        # Unaligned canvases (e.g. the 320^2 of loss_at_high_res with
+        # segm_downsampling_rate=2) take the lax JFA chain instead.
+        h, w = shape[-2], shape[-1]
+        if w % 128 != 0 or h % 8 != 0:
+            return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
@@ -133,7 +141,7 @@ def _use_pallas_jfa() -> bool:
 def _nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:
     """Dispatch: fused VMEM-resident Pallas JFA on TPU (~2.2x the lax chain
     at 640x640; opt out with FOVEALSEG_PALLAS_JFA=0), else the lax JFA."""
-    if _use_pallas_jfa():
+    if _use_pallas_jfa(valid.shape):
         from fovealseg_tpu.ops.pallas_jfa import nearest_seed_pallas
 
         return nearest_seed_pallas(valid, num_iters)
@@ -151,7 +159,7 @@ def _nearest_payload(valid: jnp.ndarray, payload: jnp.ndarray,
     the lax fallback runs the full static chain, which is a superset (same
     result, CPU-only path). ``cls_bits`` (payload < 2**cls_bits) selects the
     packed one-roll-per-candidate kernel variant."""
-    if _use_pallas_jfa():
+    if _use_pallas_jfa(valid.shape):
         if cls_bits is not None:
             from fovealseg_tpu.ops.pallas_jfa import nearest_class_pallas
 
