@@ -13,6 +13,10 @@ warp), the full-res score-map path (all 51 channels inverse-warped), and
 baseline** (benchmarks/torch_baseline.py) — i.e. vs_baseline >= 1.0 means
 the BASELINE.md north-star (">=5x end-to-end foveated inference throughput
 vs the PyTorch baseline") is met against the only torch hardware present.
+For the honest read against the rig the reference actually used (2 GPUs),
+see BASELINE.md's FLOPs-derived estimate: one v5e chip ~= the optimistic
+2x4090 warped-domain bound (~530-1081 fps), and the reference's full-res
+path is CPU-scipy-bound regardless of GPU.
 Conservative: the torch baseline stops at the warped domain (it has no
 inverse-warp stage), so it is compared against our LONGER pipeline. The
 measured baseline fps is cached in BASELINE_MEASURED.json (delete to
@@ -120,6 +124,80 @@ def measure_single_stream_ms(setup=None) -> float:
     return dt * 1e3
 
 
+def measure_train_fps(batch: int = 16):
+    """Flagship TRAINING-step throughput: samples/sec/chip and derived MFU.
+
+    The full production step (forward + joint Dice+Focal+edge loss + backward
+    + 4-group Adam, train-mode BN, rbg dropout — the reference's training hot
+    loop, train_deform_semantic.py:62-123) at the flagship config, b16 bf16
+    defaults. Chained as a state-carried ``lax.scan`` of real steps at two
+    trip counts so the tunnel's fixed per-call cost cancels and nothing
+    hoists (benchmarks/train_budget.py methodology). MFU comes from XLA's
+    own cost model for the single-step program over the v5e bf16 peak
+    (~197 TF/s); None when cost_analysis is unavailable on this backend.
+
+    Returns (samples_per_sec, step_ms, mfu_or_None).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fovealseg_tpu.configs import get_default_cfg
+    from fovealseg_tpu.data.synthetic import make_batch
+    from fovealseg_tpu.models.deform_module import DeformConfig, DeformSegmentation
+    from fovealseg_tpu.train.optim import create_optimizer
+    from fovealseg_tpu.train.step import LossConfig, init_state, make_train_step
+
+    cfg = get_default_cfg()
+    cfg.DATASET.num_class = 51
+    cfg.TRAIN.task_input_size = (80, 80)
+    cfg.TRAIN.saliency_input_size = (80, 80)
+    cfg.MODEL.gaussian_radius = 45
+    cfg.MODEL.arch_encoder = "hrnetv2_nodownsp"
+    cfg.MODEL.arch_decoder = "c1"
+    cfg.MODEL.fc_dim = 960
+    cfg.DATASET.segm_downsampling_rate = 1
+    cfg.TRAIN.optim = "adam"
+    cfg.TRAIN.deform_joint_loss = True
+
+    module = DeformSegmentation(config=DeformConfig.from_cfg(cfg), dtype=jnp.bfloat16)
+    tx = create_optimizer(cfg)
+    lcfg = LossConfig.from_cfg(cfg)
+    step = make_train_step(module, tx, lcfg)
+    rng = np.random.default_rng(0)
+    batch_d = {k: jnp.asarray(v) for k, v in make_batch(rng, batch=batch, canvas=640).items()}
+    state = init_state(module, tx, jax.random.PRNGKey(0), batch_d)
+    drop_key = jax.random.key(1, impl=cfg.TPU.dropout_rng_impl)
+
+    def n_steps(state, n):
+        def body(st, i):
+            st, mets = step(st, batch_d, jax.random.fold_in(drop_key, i))
+            return st, mets["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(n))[1]
+
+    run_a = jax.jit(lambda s: n_steps(s, 8))
+    run_b = jax.jit(lambda s: n_steps(s, 48))
+    np.asarray(run_a(state)); np.asarray(run_b(state))
+    t0 = time.perf_counter(); np.asarray(run_a(state)); ta = time.perf_counter() - t0
+    t0 = time.perf_counter(); np.asarray(run_b(state)); tb = time.perf_counter() - t0
+    dt = (tb - ta) / 40.0
+
+    mfu = None
+    try:
+        one = jax.jit(lambda s: step(s, batch_d, drop_key)[1]["loss"])
+        cost = one.lower(state).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dt / 197e12  # v5e bf16 peak (PERF.md calibration)
+    except Exception:
+        pass
+    return batch / dt, dt * 1e3, mfu
+
+
 def pallas_exactness_guard(setup) -> bool | None:
     """On-chip JFA kernel exactness check, run BEFORE timing (round-3 verdict
     weak #2: the Pallas kernels were only equivalence-tested in interpret mode
@@ -159,9 +237,30 @@ def pallas_exactness_guard(setup) -> bool | None:
     x = jax.random.uniform(key, (b, 640, 640, 3), jnp.float32)
     f = jnp.full((b, 2), 0.4, jnp.float32)
 
+    from fovealseg_tpu.core.unwarp import (
+        _nearest_payload,
+        halfpixel_avg,
+        jfa_rounds_from_grid,
+    )
+    from fovealseg_tpu.ops.pallas_gather import windowed_row_gather
+
     @jax.jit
     def check(x, f):
         out = module.apply(variables, x, f, method=DeformSegmentation.infer)
+        tidx_in, valid0 = inverse_grid_index(out["grid"], (640, 640))
+        # windowed Pallas gather vs the XLA flat gather on the REAL
+        # payload-JFA index field (the TPU.scoremap_gather="windowed" path)
+        rounds = jfa_rounds_from_grid(out["grid"], (640, 640))
+        tidx = _nearest_payload(valid0, tidx_in, None, rounds)
+        p2 = halfpixel_avg(out["pred"].astype(jnp.float32))
+        bsz, th, tw, c = p2.shape
+        flat = p2.reshape(bsz * th * tw, c)
+        off = jnp.arange(bsz, dtype=jnp.int32)[:, None] * (th * tw)
+        ref_g = flat[(tidx.reshape(bsz, -1) + off).reshape(-1)].reshape(
+            bsz, 640, 640, c
+        )
+        win_g = windowed_row_gather(p2.reshape(bsz, th * tw, c), tidx)
+        gather_eq = jnp.all(win_g == ref_g)
         _, valid = inverse_grid_index(out["grid"], (640, 640))
         h, w = valid.shape[1], valid.shape[2]
         rows = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
@@ -182,14 +281,18 @@ def pallas_exactness_guard(setup) -> bool | None:
             jnp.all(d2(seeds_p) == d2(seeds_l)),
             jnp.all(pay == seeds_p),
             jnp.all(cls == seeds_p % (1 << cls_bits)),
+            gather_eq,
         )
 
-    seed_ok, pay_ok, cls_ok = (bool(v) for v in jax.device_get(check(x, f)))
-    if not (seed_ok and pay_ok and cls_ok):
+    seed_ok, pay_ok, cls_ok, gather_ok = (
+        bool(v) for v in jax.device_get(check(x, f))
+    )
+    if not (seed_ok and pay_ok and cls_ok and gather_ok):
         raise AssertionError(
-            f"on-TPU Pallas JFA exactness guard FAILED: seed_dist_eq={seed_ok} "
-            f"payload_eq={pay_ok} class_eq={cls_ok} — Mosaic lowering no longer "
-            "matches the lax JFA chain; the serving headline would be corrupt."
+            f"on-TPU Pallas exactness guard FAILED: seed_dist_eq={seed_ok} "
+            f"payload_eq={pay_ok} class_eq={cls_ok} windowed_gather_eq={gather_ok} "
+            "— Mosaic lowering no longer matches the lax oracle; the "
+            "headline would be corrupt."
         )
     return True
 
@@ -201,6 +304,7 @@ def main():
     warped = measure_jax_fps(setup=setup)
     scoremap = measure_fullres_fps(setup=setup)
     b1_ms = measure_single_stream_ms()
+    train_fps, train_ms, train_mfu = measure_train_fps()
     base = get_torch_baseline_fps()
     vs = serving / (5.0 * base) if base == base and base > 0 else 0.0
     print(
@@ -213,6 +317,9 @@ def main():
                 "single_stream_ms": round(b1_ms, 3),
                 "warped_domain_fps": round(warped, 3),
                 "fullres_scoremap_fps": round(scoremap, 3),
+                "train_step_fps": round(train_fps, 3),
+                "train_step_ms_b16": round(train_ms, 3),
+                "train_mfu": round(train_mfu, 4) if train_mfu is not None else None,
                 "torch_cpu_baseline_fps": round(base, 3) if base == base else None,
                 "pallas_exactness_guard": guard,
                 "baseline_definition": "5x torch-CPU pipeline (BASELINE.md north star; torch stops at the warped domain — compared against our longer full-res path)",

@@ -209,6 +209,11 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.mesh_shape = (0,)  # 0 → use all devices on the data axis
     _C.TPU.donate_state = True
     _C.TPU.jfa_iters = 0  # 0 → auto (ceil(log2(max(segSize))))
+    _C.TPU.scoremap_gather = "xla"  # full-res SCORE-MAP gather impl:
+    # "xla" = the flat rank-1 XLA gather (8.2 ms/b8 floor); "windowed" = the
+    # bit-exact windowed Pallas lane-gather (ops/pallas_gather.py) with an
+    # in-graph fallback to the XLA gather on warps that compress more than
+    # 512 task cells under one 8-row tile. Both are exact; pick by speed.
     _C.TPU.scoremap_gather_bf16 = False  # opt-in: the full-res SCORE-MAP
     # inverse warp gathers bf16 rows instead of f32 (measured -12.5% on the
     # gather, the path's largest stage; scores round to bf16, ~1.6e-2 abs on

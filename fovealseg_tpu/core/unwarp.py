@@ -226,6 +226,7 @@ def unwarp_prediction_fast(
     num_iters: int | None = None,
     rounds: jnp.ndarray | None = None,
     gather_bf16: bool = False,
+    gather_impl: str = "xla",
 ) -> jnp.ndarray:
     """Exact fast inverse warp for the reference's own inverse grid.
 
@@ -248,6 +249,19 @@ def unwarp_prediction_fast(
     hs, ws = task_idx.shape[1], task_idx.shape[2]
     tidx = _nearest_payload(valid, task_idx, num_iters, rounds)  # [B, Hs, Ws]
     p2 = halfpixel_avg(pred).reshape(b, th * tw, c)
+    if gather_impl == "windowed" and _use_pallas_jfa(task_idx.shape):
+        from fovealseg_tpu.ops.pallas_gather import (
+            windowed_gather_supported,
+            windowed_row_gather,
+        )
+
+        if windowed_gather_supported(p2, tidx):
+            # bit-exact windowed Pallas gather (lane-local take_along_axis
+            # over a per-tile task-cell window; ops/pallas_gather.py) with
+            # an in-graph whole-batch fallback to the XLA gather on warps
+            # that compress too much — gather_bf16 is moot on this path
+            out = windowed_row_gather(p2.astype(jnp.float32), tidx)
+            return out.astype(pred.dtype)
     if gather_bf16:
         p2 = p2.astype(jnp.bfloat16)
     out = _gather_rows_flat(p2, tidx.reshape(b, hs * ws))

@@ -68,6 +68,9 @@ class DeformConfig:
     # input for efficient inference (eval.py F_Xlr path); 0 = off
     jfa_iters: int = 0  # TPU.jfa_iters: fixed JFA chain length; 0 = derive
     # the round count from the grid geometry at runtime (jfa_rounds_from_grid)
+    scoremap_gather: str = "xla"  # TPU.scoremap_gather: score-map gather
+    # impl — "xla" flat gather or "windowed" Pallas lane-gather (bit-exact,
+    # in-graph fallback; ops/pallas_gather.py). Serving argmax is unaffected.
     scoremap_gather_bf16: bool = False  # TPU.scoremap_gather_bf16: the
     # score-map inverse warp gathers bf16 rows (-12.5% on the gather stage;
     # scores round to bf16). Default off = bit-exact vs unwarp_prediction.
@@ -104,6 +107,7 @@ class DeformConfig:
             uniform_sample=cfg.MODEL.uniform_sample,
             f_xlr_low_scale=cfg.VAL.F_Xlr_low_scale,
             jfa_iters=cfg.TPU.jfa_iters,
+            scoremap_gather=cfg.TPU.scoremap_gather,
             scoremap_gather_bf16=cfg.TPU.scoremap_gather_bf16,
             gt_gradient=cfg.MODEL.gt_gradient,
             fix_gt_gradient=cfg.MODEL.fix_gt_gradient,
@@ -443,6 +447,7 @@ class DeformSegmentation(nn.Module):
             pred_sampled = unwarp_prediction_fast(
                 pred.astype(jnp.float32), task_idx, valid, jfa_iters, jfa_rounds,
                 gather_bf16=c.scoremap_gather_bf16,
+                gather_impl=c.scoremap_gather,
             )
         else:
             pred_sampled = unwarp_prediction(
