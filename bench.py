@@ -277,11 +277,19 @@ def pallas_exactness_guard(setup) -> bool | None:
         pay = nearest_payload_pallas(valid, pos_flat)
         cls_bits = 11
         cls = nearest_class_pallas(valid, pos_flat % (1 << cls_bits), cls_bits)
+        # relative-offset packed payload kernel (the score path's production
+        # variant for 13-bit task indices) — same candidate order/distances
+        # as the seed kernel, so winners must be identical
+        from fovealseg_tpu.ops.pallas_jfa import nearest_payload_packed_pallas
+
+        relp = nearest_payload_packed_pallas(
+            valid, pos_flat & 8191, 13, rounds=rounds
+        )
         return (
             jnp.all(d2(seeds_p) == d2(seeds_l)),
             jnp.all(pay == seeds_p),
             jnp.all(cls == seeds_p % (1 << cls_bits)),
-            gather_eq,
+            gather_eq & jnp.all(relp == (seeds_p & 8191)),
         )
 
     seed_ok, pay_ok, cls_ok, gather_ok = (

@@ -151,20 +151,28 @@ def _nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarr
 def _nearest_payload(valid: jnp.ndarray, payload: jnp.ndarray,
                      num_iters: int | None = None,
                      rounds: jnp.ndarray | None = None,
-                     cls_bits: int | None = None) -> jnp.ndarray:
+                     cls_bits: int | None = None,
+                     pay_bits: int | None = None) -> jnp.ndarray:
     """Payload-carrying dispatch (used by the fast inverse-warp path).
 
     ``rounds`` (optional traced int32 scalar) caps the jump-flood chain at a
     data-derived round count on the Pallas path (see jfa_rounds_from_grid);
     the lax fallback runs the full static chain, which is a superset (same
     result, CPU-only path). ``cls_bits`` (payload < 2**cls_bits) selects the
-    packed one-roll-per-candidate kernel variant."""
+    packed one-roll-per-candidate kernel variant; ``pay_bits`` (payload <
+    2**pay_bits, up to 13) the relative-offset packed variant with its
+    runtime two-array fallback (ops/pallas_jfa.py::nearest_payload_packed)."""
     if _use_pallas_jfa(valid.shape):
         if cls_bits is not None:
             from fovealseg_tpu.ops.pallas_jfa import nearest_class_pallas
 
             return nearest_class_pallas(valid, payload, cls_bits, num_iters,
                                         rounds=rounds)
+        if pay_bits is not None and pay_bits <= 13:
+            from fovealseg_tpu.ops.pallas_jfa import nearest_payload_packed_pallas
+
+            return nearest_payload_packed_pallas(valid, payload, pay_bits,
+                                                 num_iters, rounds=rounds)
         from fovealseg_tpu.ops.pallas_jfa import nearest_payload_pallas
 
         return nearest_payload_pallas(valid, payload, num_iters, rounds=rounds)
@@ -247,7 +255,8 @@ def unwarp_prediction_fast(
     """
     b, th, tw, c = pred.shape
     hs, ws = task_idx.shape[1], task_idx.shape[2]
-    tidx = _nearest_payload(valid, task_idx, num_iters, rounds)  # [B, Hs, Ws]
+    tidx = _nearest_payload(valid, task_idx, num_iters, rounds,
+                            pay_bits=(th * tw - 1).bit_length())  # [B, Hs, Ws]
     p2 = halfpixel_avg(pred).reshape(b, th * tw, c)
     if gather_impl == "windowed" and _use_pallas_jfa(task_idx.shape):
         from fovealseg_tpu.ops.pallas_gather import (
@@ -289,7 +298,8 @@ def unwarp_argmax_fast(
     """
     b, th, tw, _ = pred.shape
     hs, ws = task_idx.shape[1], task_idx.shape[2]
-    tidx = _nearest_payload(valid, task_idx, num_iters, rounds)
+    tidx = _nearest_payload(valid, task_idx, num_iters, rounds,
+                            pay_bits=(th * tw - 1).bit_length())
     cls2 = jnp.argmax(halfpixel_avg(pred), axis=-1).astype(jnp.int32)
     out = _gather_rows_flat(cls2.reshape(b, th * tw, 1), tidx.reshape(b, hs * ws))
     return out.reshape(b, hs, ws)
@@ -352,7 +362,8 @@ def unwarp_labels_fast(
     """
     b, th, tw, c = labels.shape
     hs, ws = task_idx.shape[1], task_idx.shape[2]
-    tidx = _nearest_payload(valid, task_idx, num_iters, rounds)
+    tidx = _nearest_payload(valid, task_idx, num_iters, rounds,
+                            pay_bits=(th * tw - 1).bit_length())
     out = _gather_rows_flat(labels.reshape(b, th * tw, c), tidx.reshape(b, hs * ws))
     return out.reshape(b, hs, ws, c)
 

@@ -35,17 +35,34 @@ import jax.numpy as jnp
 _INT_INF = 2**30  # > any squared pixel distance at <= 1024^2
 
 
+_REL_BITS = 9  # relpay offset field width: offsets in [-256, 255]
+_REL_BIAS = 1 << (_REL_BITS - 1)
+# max displacement after R rounds (steps 2^(R-1)..1 plus the extra 1-step
+# round) is 2^R, so the 9-bit biased fields are safe for rounds <= 7
+REL_MAX_ROUNDS = _REL_BITS - 2
+
+
 def _jfa_kernel(rounds_ref, valid_ref, payload_ref, out_ref, *, h: int, w: int,
                 max_rounds: int, mode: str, cls_bits: int):
     """mode: 'seed' -> out = nearest flat index y*w+x;
     'payload' -> out = payload of nearest seed (payload rolled alongside);
     'class'  -> out = payload of nearest seed, payload packed into the seed
-    word (payload < 2**cls_bits required)."""
+    word (payload < 2**cls_bits required);
+    'relpay' -> like 'class' but the position rides as RELATIVE offsets
+    (dy, dx) biased into two 9-bit fields, freeing enough bits for payloads
+    up to 13 bits (flat task indices) at one roll per candidate. Offsets are
+    updated arithmetically on each roll; only correct while the total
+    displacement stays within the field range, i.e. rounds <= REL_MAX_ROUNDS
+    (callers lax.cond to the two-array kernel beyond that)."""
     from jax.experimental.pallas import tpu as pltpu
 
     xb = max(1, (w - 1).bit_length())  # pow2 x-stride
-    cb = cls_bits if mode == "class" else 0
-    assert ((h - 1) << xb << cb | (w - 1) << cb) < 2**31 - 1
+    cb = cls_bits if mode in ("class", "relpay") else 0
+    if mode == "relpay":
+        assert cb + 2 * _REL_BITS <= 31, cb
+        assert max_rounds <= REL_MAX_ROUNDS, max_rounds
+    else:
+        assert ((h - 1) << xb << cb | (w - 1) << cb) < 2**31 - 1
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -54,6 +71,10 @@ def _jfa_kernel(rounds_ref, valid_ref, payload_ref, out_ref, *, h: int, w: int,
     pos0 = (rows << xb) | cols
     if mode == "class":
         packed = jnp.where(valid, (pos0 << cb) | payload_ref[0], -1)
+        pay = jnp.zeros((h, w), jnp.int32)  # unused
+    elif mode == "relpay":
+        zero_off = (_REL_BIAS << (_REL_BITS + cb)) | (_REL_BIAS << cb)
+        packed = jnp.where(valid, zero_off | payload_ref[0], -1)
         pay = jnp.zeros((h, w), jnp.int32)  # unused
     else:
         packed = jnp.where(valid, pos0, -1)
@@ -88,6 +109,19 @@ def _jfa_kernel(rounds_ref, valid_ref, payload_ref, out_ref, *, h: int, w: int,
                 # lanes (source out of range) are invalid
                 ok = (rows + dy >= 0) & (rows + dy < h) & (cols + dx >= 0) & (cols + dx < w)
                 cand = roll(packed, dy, dx)
+                if mode == "relpay":
+                    # source's (dy, dx) fields are relative to the source;
+                    # relative to the receiving pixel they shift by the roll
+                    # offset — one scalar-broadcast add on the packed word
+                    shifted = cand + ((dy << (_REL_BITS + cb)) + (dx << cb))
+                    rmask = (1 << _REL_BITS) - 1
+                    ddy = ((shifted >> (_REL_BITS + cb)) & rmask) - _REL_BIAS
+                    ddx = ((shifted >> cb) & rmask) - _REL_BIAS
+                    d = ddy * ddy + ddx * ddx
+                    better = ok & (cand >= 0) & (d < best)
+                    packed = jnp.where(better, shifted, packed)
+                    best = jnp.where(better, d, best)
+                    continue
                 pos = cand >> cb if cb else cand
                 ddy = (pos >> xb) - rows
                 ddx = (pos & ((1 << xb) - 1)) - cols
@@ -102,7 +136,7 @@ def _jfa_kernel(rounds_ref, valid_ref, payload_ref, out_ref, *, h: int, w: int,
     packed, pay, best = jax.lax.fori_loop(0, n_rounds, round_body, (packed, pay, best))
     if mode == "payload":
         out_ref[0] = pay
-    elif mode == "class":
+    elif mode in ("class", "relpay"):
         out_ref[0] = jnp.where(packed >= 0, packed & ((1 << cb) - 1), 0)
     else:
         pos = jnp.maximum(packed, 0)
@@ -116,6 +150,8 @@ def _pallas_jfa_call(valid, payload, num_iters, interpret, mode, rounds=None,
 
     b, h, w = valid.shape
     full = max(1, math.ceil(math.log2(max(h, w))))
+    if mode == "relpay":
+        full = min(full, REL_MAX_ROUNDS)
     if rounds is None:
         rounds = jnp.asarray(num_iters or full, jnp.int32)
     rounds = jnp.asarray(rounds, jnp.int32).reshape(1)
@@ -185,6 +221,45 @@ def nearest_class_pallas(valid: jnp.ndarray, payload: jnp.ndarray,
         return nearest_payload_pallas(valid, payload, num_iters, interpret, rounds)
     return _pallas_jfa_call(valid, payload, num_iters, interpret,
                             mode="class", rounds=rounds, cls_bits=cls_bits)
+
+
+@functools.partial(jax.jit, static_argnames=("pay_bits", "num_iters", "interpret"))
+def nearest_payload_packed_pallas(valid: jnp.ndarray, payload: jnp.ndarray,
+                                  pay_bits: int,
+                                  num_iters: int | None = None,
+                                  interpret: bool = False,
+                                  rounds: jnp.ndarray | None = None) -> jnp.ndarray:
+    """One-roll packed JFA for mid-width payloads (pay_bits <= 13, e.g. the
+    score-map path's flat task indices) via RELATIVE-offset position packing
+    ('relpay' mode): (dy+256, dx+256) ride in two 9-bit fields next to the
+    payload, updated arithmetically per roll, so each candidate costs one
+    roll like the class kernel instead of the two-array variant's two.
+
+    Only correct while the chain's total displacement fits the offset
+    fields (rounds <= REL_MAX_ROUNDS == 7, i.e. max hole radius < 64 px —
+    true for every production grid measured; jfa_rounds_from_grid bounds it
+    per input). A runtime ``lax.cond`` falls back to the exact two-array
+    kernel for wider-hole grids, so results are always exact."""
+    if pay_bits + 2 * _REL_BITS > 31:
+        return nearest_payload_pallas(valid, payload, num_iters, interpret,
+                                      rounds)
+    if rounds is None:
+        b, h, w = valid.shape
+        full = max(1, math.ceil(math.log2(max(h, w))))
+        rounds = jnp.asarray(num_iters or full, jnp.int32)
+
+    def rel(_):
+        return _pallas_jfa_call(valid, payload, num_iters, interpret,
+                                mode="relpay",
+                                rounds=jnp.minimum(rounds, REL_MAX_ROUNDS),
+                                cls_bits=pay_bits)
+
+    def two(_):
+        return _pallas_jfa_call(valid, payload, num_iters, interpret,
+                                mode="payload", rounds=rounds)
+
+    return jax.lax.cond(jnp.asarray(rounds, jnp.int32).reshape(())
+                        <= REL_MAX_ROUNDS, rel, two, None)
 
 
 def nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:

@@ -76,3 +76,43 @@ def test_pallas_class_jfa_runtime_rounds(rng):
     )
     # 4 rounds cover the full 16x16 extent -> same result
     np.testing.assert_array_equal(full, capped)
+
+
+def test_pallas_relpay_jfa_matches_payload_variant(rng):
+    """'relpay' (relative-offset packed, one roll) must match the two-array
+    variant exactly: identical candidate order and integer distances imply
+    identical winners, only the position encoding differs."""
+    from fovealseg_tpu.ops.pallas_jfa import nearest_payload_packed_pallas
+
+    valid = rng.uniform(0, 1, (2, 64, 64)) > 0.97
+    valid[:, 5, 7] = True
+    pay = rng.integers(0, 6400, (2, 64, 64)).astype(np.int32)
+    rel = np.asarray(
+        nearest_payload_packed_pallas(
+            jnp.asarray(valid), jnp.asarray(pay), pay_bits=13,
+            rounds=jnp.int32(6), interpret=True)
+    )
+    two = np.asarray(
+        nearest_payload_pallas(jnp.asarray(valid), jnp.asarray(pay),
+                               rounds=jnp.int32(6), interpret=True)
+    )
+    np.testing.assert_array_equal(rel, two)
+
+
+def test_pallas_relpay_round_fallback(rng):
+    """rounds > REL_MAX_ROUNDS must take the lax.cond two-array branch (the
+    offset fields cannot represent the displacement) and still be exact."""
+    from fovealseg_tpu.ops.pallas_jfa import (
+        REL_MAX_ROUNDS,
+        nearest_payload_packed_pallas,
+    )
+
+    valid = np.zeros((1, 512, 512), bool)
+    valid[:, 2, 3] = True  # single far seed: needs the full chain
+    pay = np.full((1, 512, 512), 4321, np.int32)
+    out = np.asarray(
+        nearest_payload_packed_pallas(
+            jnp.asarray(valid), jnp.asarray(pay), pay_bits=13,
+            rounds=jnp.int32(REL_MAX_ROUNDS + 2), interpret=True)
+    )
+    np.testing.assert_array_equal(out, pay)
