@@ -55,6 +55,11 @@ def main():
     cfg.MODEL.rev_deform_interp = "nearest"
     cfg.DATASET.segm_downsampling_rate = 1
     cfg.TRAIN.optim = "adam"
+    # TASK_EVAL=128: evaluate with the inference grid rebuilt at NxN (the
+    # reference's input_size_net_infer surface / TRAIN.task_input_size_eval)
+    te = int(os.environ.get("TASK_EVAL", "0"))
+    if te:
+        cfg.TRAIN.task_input_size_eval = (te, te)
 
     dc = DeformConfig.from_cfg(cfg)
     module = DeformSegmentation(config=dc, dtype=jnp.bfloat16)
