@@ -116,3 +116,16 @@ def test_pallas_relpay_round_fallback(rng):
             rounds=jnp.int32(REL_MAX_ROUNDS + 2), interpret=True)
     )
     np.testing.assert_array_equal(out, pay)
+
+
+def test_pallas_dispatch_shape_gate():
+    """Lane-unaligned canvases (e.g. 320^2 under segm_downsampling_rate=2 +
+    loss_at_high_res) must refuse the Pallas JFA (Mosaic's dynamic_rotate
+    needs W%128==0, H%8==0) and take the lax chain."""
+    from fovealseg_tpu.core.unwarp import _use_pallas_jfa
+
+    # gate result also depends on platform; only the shape-refusals are
+    # asserted (True cases require a TPU)
+    assert _use_pallas_jfa((1, 320, 320)) is False
+    assert _use_pallas_jfa((1, 640, 630)) is False
+    assert _use_pallas_jfa((1, 637, 640)) is False
