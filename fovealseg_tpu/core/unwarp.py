@@ -124,27 +124,45 @@ def _use_pallas_jfa(shape=None) -> bool:
 
     if os.environ.get("FOVEALSEG_PALLAS_JFA") == "0":
         return False
-    if shape is not None:
-        # Mosaic's tpu.dynamic_rotate requires vreg-aligned 2-D tiles:
-        # lane dim (W) a multiple of 128, sublane dim (H) a multiple of 8.
-        # Unaligned canvases (e.g. the 320^2 of loss_at_high_res with
-        # segm_downsampling_rate=2) take the lax JFA chain instead.
-        h, w = shape[-2], shape[-1]
-        if w % 128 != 0 or h % 8 != 0:
-            return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
 
 
+def _pad_to_vreg(arrs, fill):
+    """Pad [B, H, W] arrays to Mosaic's vreg-aligned tile (H%8, W%128) with
+    ``fill`` (invalid-seed padding: excluded from every JFA candidate set, so
+    results on the original region are unchanged). Returns (padded, (h, w)).
+
+    Mosaic's tpu.dynamic_rotate rejects unaligned tiles (e.g. the 320^2
+    canvas of loss_at_high_res under segm_downsampling_rate=2); padding by
+    <=7 rows / <=127 lanes costs ~20% extra kernel work vs the ~2-3x of the
+    lax fallback chain."""
+    h, w = arrs[0].shape[-2], arrs[0].shape[-1]
+    ph = (-h) % 8
+    pw = (-w) % 128
+    if ph == 0 and pw == 0:
+        return arrs, (h, w)
+    out = [jnp.pad(a, ((0, 0), (0, ph), (0, pw)), constant_values=f)
+           for a, f in zip(arrs, fill)]
+    return out, (h, w)
+
+
 def _nearest_seed(valid: jnp.ndarray, num_iters: int | None = None) -> jnp.ndarray:
     """Dispatch: fused VMEM-resident Pallas JFA on TPU (~2.2x the lax chain
     at 640x640; opt out with FOVEALSEG_PALLAS_JFA=0), else the lax JFA."""
-    if _use_pallas_jfa(valid.shape):
+    if _use_pallas_jfa():
         from fovealseg_tpu.ops.pallas_jfa import nearest_seed_pallas
 
-        return nearest_seed_pallas(valid, num_iters)
+        (v,), hw = _pad_to_vreg([valid], [False])
+        out = nearest_seed_pallas(v, num_iters)
+        if v.shape != valid.shape:
+            # un-flatten/re-flatten the padded-width indices to the original
+            pw = v.shape[-1]
+            out = (out // pw) * hw[1] + out % pw
+            out = out[:, :hw[0], :hw[1]]
+        return out
     return nearest_seed_jfa(valid, num_iters)
 
 
@@ -162,20 +180,22 @@ def _nearest_payload(valid: jnp.ndarray, payload: jnp.ndarray,
     packed one-roll-per-candidate kernel variant; ``pay_bits`` (payload <
     2**pay_bits, up to 13) the relative-offset packed variant with its
     runtime two-array fallback (ops/pallas_jfa.py::nearest_payload_packed)."""
-    if _use_pallas_jfa(valid.shape):
+    if _use_pallas_jfa():
+        (v, p), hw = _pad_to_vreg([valid, payload], [False, 0])
         if cls_bits is not None:
             from fovealseg_tpu.ops.pallas_jfa import nearest_class_pallas
 
-            return nearest_class_pallas(valid, payload, cls_bits, num_iters,
-                                        rounds=rounds)
-        if pay_bits is not None and pay_bits <= 13:
+            out = nearest_class_pallas(v, p, cls_bits, num_iters, rounds=rounds)
+        elif pay_bits is not None and pay_bits <= 13:
             from fovealseg_tpu.ops.pallas_jfa import nearest_payload_packed_pallas
 
-            return nearest_payload_packed_pallas(valid, payload, pay_bits,
-                                                 num_iters, rounds=rounds)
-        from fovealseg_tpu.ops.pallas_jfa import nearest_payload_pallas
+            out = nearest_payload_packed_pallas(v, p, pay_bits, num_iters,
+                                                rounds=rounds)
+        else:
+            from fovealseg_tpu.ops.pallas_jfa import nearest_payload_pallas
 
-        return nearest_payload_pallas(valid, payload, num_iters, rounds=rounds)
+            out = nearest_payload_pallas(v, p, num_iters, rounds=rounds)
+        return out[:, :hw[0], :hw[1]] if v.shape != valid.shape else out
     return nearest_seed_payload(valid, payload, num_iters)
 
 
@@ -258,7 +278,7 @@ def unwarp_prediction_fast(
     tidx = _nearest_payload(valid, task_idx, num_iters, rounds,
                             pay_bits=(th * tw - 1).bit_length())  # [B, Hs, Ws]
     p2 = halfpixel_avg(pred).reshape(b, th * tw, c)
-    if gather_impl == "windowed" and _use_pallas_jfa(task_idx.shape):
+    if gather_impl == "windowed" and _use_pallas_jfa():
         from fovealseg_tpu.ops.pallas_gather import (
             windowed_gather_supported,
             windowed_row_gather,

@@ -118,14 +118,44 @@ def test_pallas_relpay_round_fallback(rng):
     np.testing.assert_array_equal(out, pay)
 
 
-def test_pallas_dispatch_shape_gate():
+def test_unaligned_canvas_padding_matches_lax(rng):
     """Lane-unaligned canvases (e.g. 320^2 under segm_downsampling_rate=2 +
-    loss_at_high_res) must refuse the Pallas JFA (Mosaic's dynamic_rotate
-    needs W%128==0, H%8==0) and take the lax chain."""
-    from fovealseg_tpu.core.unwarp import _use_pallas_jfa
+    loss_at_high_res) run the Pallas JFA on a vreg-padded tile (Mosaic's
+    dynamic_rotate needs W%128==0, H%8==0); invalid-seed padding must leave
+    the original region's distances/payloads unchanged."""
+    from fovealseg_tpu.core.unwarp import (
+        _pad_to_vreg,
+        nearest_seed_jfa,
+        nearest_seed_payload,
+    )
+    from fovealseg_tpu.ops.pallas_jfa import (
+        nearest_payload_packed_pallas,
+        nearest_seed_pallas,
+    )
 
-    # gate result also depends on platform; only the shape-refusals are
-    # asserted (True cases require a TPU)
-    assert _use_pallas_jfa((1, 320, 320)) is False
-    assert _use_pallas_jfa((1, 640, 630)) is False
-    assert _use_pallas_jfa((1, 637, 640)) is False
+    h = w = 72  # not multiples of 8*?/128
+    valid = rng.uniform(0, 1, (1, h, w)) > 0.95
+    valid[:, 3, 5] = True
+    pay = rng.integers(0, 6400, (1, h, w)).astype(np.int32)
+
+    (v, p), hw = _pad_to_vreg([jnp.asarray(valid), jnp.asarray(pay)], [False, 0])
+    assert v.shape == (1, 72, 128) and hw == (72, 72)
+
+    # seed kernel on the padded tile == lax chain on the original (distances)
+    out = np.asarray(nearest_seed_pallas(v, interpret=True))
+    pw = v.shape[-1]
+    out = ((out // pw) * w + out % pw)[:, :h, :w]
+    lax_out = np.asarray(nearest_seed_jfa(jnp.asarray(valid)))
+    ys, xs = np.mgrid[0:h, 0:w]
+
+    def d2(flat):
+        return (flat // w - ys) ** 2 + (flat % w - xs) ** 2
+
+    np.testing.assert_array_equal(d2(out[0]), d2(lax_out[0]))
+
+    # relpay payload kernel on the padded tile: payloads of nearest seeds
+    rel = np.asarray(nearest_payload_packed_pallas(
+        v, p, pay_bits=13, rounds=jnp.int32(7), interpret=True))[:, :h, :w]
+    ref = np.asarray(nearest_seed_payload(jnp.asarray(valid), jnp.asarray(pay)))
+    assert (rel == ref).mean() > 0.95  # tie-breaks may differ
+    assert set(rel.reshape(-1).tolist()) <= set(pay[valid].tolist())
