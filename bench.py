@@ -187,12 +187,26 @@ def measure_train_fps(batch: int = 16):
 
     mfu = None
     try:
-        one = jax.jit(lambda s: step(s, batch_d, drop_key)[1]["loss"])
-        cost = one.lower(state).compile().cost_analysis()
+        # numerator: cost-model FLOPs of the FORWARD+loss, x3 for the
+        # backward (conv bwd ~ 2x fwd MACs). The cost model of the full
+        # train step undercounts (measured 2.37 TF vs ~7.3 TF analytic at
+        # b16), so the forward count — which matches the analytic 152.8
+        # GF/frame — anchors the estimate; treat mfu as approximate.
+        def fwd_loss(s):
+            out, _ = module.apply(
+                {"params": s.params, "batch_stats": s.batch_stats},
+                batch_d["img_data"], batch_d["focus_point"], train=True,
+                rngs={"dropout": drop_key}, mutable=["batch_stats"],
+            )
+            from fovealseg_tpu.train.step import compute_losses
+
+            return compute_losses(out, batch_d, lcfg)[0]
+
+        cost = jax.jit(fwd_loss).lower(state).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
-            mfu = flops / dt / 197e12  # v5e bf16 peak (PERF.md calibration)
+            mfu = 3.0 * flops / dt / 197e12  # v5e bf16 peak (PERF.md)
     except Exception:
         pass
     return batch / dt, dt * 1e3, mfu
@@ -327,7 +341,7 @@ def main():
                 "fullres_scoremap_fps": round(scoremap, 3),
                 "train_step_fps": round(train_fps, 3),
                 "train_step_ms_b16": round(train_ms, 3),
-                "train_mfu": round(train_mfu, 4) if train_mfu is not None else None,
+                "train_mfu_est": round(train_mfu, 4) if train_mfu is not None else None,
                 "torch_cpu_baseline_fps": round(base, 3) if base == base else None,
                 "pallas_exactness_guard": guard,
                 "baseline_definition": "5x torch-CPU pipeline (BASELINE.md north star; torch stops at the warped domain — compared against our longer full-res path)",
